@@ -1,0 +1,24 @@
+# Root conftest: force tests onto a virtual 8-device CPU mesh.
+#
+# The environment's sitecustomize registers the tunneled TPU ("axon") backend
+# in every Python process and force-sets jax_platforms="axon,cpu" via
+# jax.config — overriding the JAX_PLATFORMS env var. Tests must run on the
+# virtual CPU mesh, so re-override through jax.config here (conftest runs
+# before any test imports build arrays, hence before backends initialize).
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():  # a stale axon backend set would pin devices()
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,2 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Mesh sharding of independent batch diagonalizations (ICI data parallelism)."""

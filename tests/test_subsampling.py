@@ -1,0 +1,116 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Tests for sqd_tpu.subsampling (mirrors reference test/test_subsampling.py coverage)."""
+
+import numpy as np
+import pytest
+
+from sqd_tpu import subsampling
+
+
+def _random_bs(rng, n, bits=8):
+    return rng.integers(0, 2, size=(n, bits)).astype(bool)
+
+
+def test_postselect():
+    mat = np.array(
+        [
+            [1, 0, 1, 0],  # left ham 1, right ham 1
+            [1, 1, 1, 1],  # 2, 2
+            [0, 1, 1, 0],  # 1, 1
+            [0, 0, 1, 1],  # 0, 2
+        ],
+        dtype=bool,
+    )
+    probs = np.array([0.1, 0.2, 0.3, 0.4])
+    bs, p = subsampling.postselect_by_hamming_right_and_left(
+        mat, probs, hamming_right=1, hamming_left=1
+    )
+    np.testing.assert_array_equal(bs, mat[[0, 2]])
+    np.testing.assert_allclose(p, [0.25, 0.75])
+
+
+def test_postselect_errors():
+    mat = np.zeros((3, 4), dtype=bool)
+    probs = np.ones(3) / 3
+    with pytest.raises(ValueError, match="non-negative"):
+        subsampling.postselect_by_hamming_right_and_left(
+            mat, probs, hamming_right=-1, hamming_left=0
+        )
+    with pytest.raises(ValueError, match="even"):
+        subsampling.postselect_by_hamming_right_and_left(
+            np.zeros((3, 5), dtype=bool), probs, hamming_right=1, hamming_left=1
+        )
+    with pytest.raises(ValueError, match="number of elements"):
+        subsampling.postselect_by_hamming_right_and_left(
+            mat, np.ones(2), hamming_right=1, hamming_left=1
+        )
+
+
+def test_subsample_shapes_and_membership():
+    rng = np.random.default_rng(0)
+    mat = np.unique(_random_bs(rng, 100), axis=0)
+    probs = np.ones(len(mat)) / len(mat)
+    batches = subsampling.subsample(mat, probs, samples_per_batch=10, num_batches=5, rand_seed=1)
+    assert len(batches) == 5
+    pool = {tuple(r) for r in mat}
+    for b in batches:
+        assert b.shape == (10, 8)
+        # without replacement within a batch
+        assert len({tuple(r) for r in b}) == 10
+        assert all(tuple(r) in pool for r in b)
+
+
+def test_subsample_identity_when_batch_geq_pool():
+    rng = np.random.default_rng(0)
+    mat = np.unique(_random_bs(rng, 10), axis=0)
+    probs = np.ones(len(mat)) / len(mat)
+    batches = subsampling.subsample(mat, probs, samples_per_batch=50, num_batches=3)
+    for b in batches:
+        np.testing.assert_array_equal(b, mat)
+
+
+def test_subsample_empty_input():
+    batches = subsampling.subsample(np.empty((0, 8), dtype=bool), np.array([]), 5, 3)
+    assert len(batches) == 3
+    assert all(b.size == 0 for b in batches)
+
+
+def test_subsample_errors():
+    mat = np.zeros((4, 4), dtype=bool)
+    probs = np.ones(4) / 4
+    with pytest.raises(ValueError, match="number of elements"):
+        subsampling.subsample(mat, np.ones(3), 2, 1)
+    with pytest.raises(ValueError, match="Samples per batch"):
+        subsampling.subsample(mat, probs, 0, 1)
+    with pytest.raises(ValueError, match="number of batches"):
+        subsampling.subsample(mat, probs, 2, 0)
+
+
+def test_subsample_deterministic_with_seed():
+    rng = np.random.default_rng(0)
+    mat = np.unique(_random_bs(rng, 60), axis=0)
+    probs = rng.random(len(mat))
+    probs /= probs.sum()
+    b1 = subsampling.subsample(mat, probs, 7, 4, rand_seed=42)
+    b2 = subsampling.subsample(mat, probs, 7, 4, rand_seed=42)
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_postselect_and_subsample_deprecated_combo():
+    rng = np.random.default_rng(0)
+    mat = _random_bs(rng, 200, bits=8)
+    probs = np.ones(len(mat)) / len(mat)
+    batches = subsampling.postselect_and_subsample(
+        mat,
+        probs,
+        hamming_right=2,
+        hamming_left=2,
+        samples_per_batch=3,
+        num_batches=2,
+        rand_seed=0,
+    )
+    assert len(batches) == 2
+    for b in batches:
+        for row in b:
+            assert row[4:].sum() == 2 and row[:4].sum() == 2
