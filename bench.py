@@ -1,0 +1,120 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Headline benchmark: Davidson ground-state solve at a 10^6-determinant subspace.
+
+Matches BASELINE.json's metric ("Davidson solve wall-clock at 10^6-det
+subspace").  The problem is a 16-orbital, (5,5)-electron selected-CI space
+with 1000 alpha x 1000 beta strings (dim = 10^6) over Hubbard-type integrals
+— the same shape class as the N2/6-31g config.  The solve runs the production
+path: f32 Davidson iterations + f64 Rayleigh refinement of the energy.
+
+``vs_baseline``: the reference delegates this solve to PySCF's OpenMP
+selected-CI kernels; its README claims ~10^7-dim problems are tractable on
+10-30 CPU cores (README.md:78) with no published wall-clock.  We use a
+conservative 60 s estimate for a 64-core node at 10^6 determinants
+(~40 Davidson iterations x ~1.5 s/contract_2e) as the baseline;
+``vs_baseline`` is the speedup factor over that estimate.
+"""
+
+import json
+import time
+
+import numpy as np
+
+CPU_BASELINE_SECONDS = 60.0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from sqd_tpu.models.hubbard import hubbard_integrals
+    from sqd_tpu.ops import bitpack
+    from sqd_tpu.ops.davidson import davidson_ground_state, davidson_initial_guess
+    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian, sci_matvec_flat
+
+    norb, nelec = 16, (5, 5)
+    m = n = 1000
+    rng = np.random.default_rng(0)
+    h1, eri = hubbard_integrals(norb, u=4.0)
+    # small random two-body noise so the spectrum is non-degenerate
+    noise = rng.normal(size=(norb,) * 4) * 0.02
+    noise = noise + noise.transpose(1, 0, 2, 3)
+    noise = noise + noise.transpose(0, 1, 3, 2)
+    noise = noise + noise.transpose(2, 3, 0, 1)
+    eri = eri + noise / 8
+
+    # SQD-realistic subspace: the Hartree-Fock determinant plus low-order
+    # excitations (what sampled configurations cluster around), giving a
+    # well-connected selected space.
+    def excitation_strings(count, seed):
+        r = np.random.default_rng(seed)
+        hf = (1 << nelec[0]) - 1
+        seen = {hf}
+        frontier = [hf]
+        while len(seen) < count:
+            base = frontier[r.integers(len(frontier))] if frontier else hf
+            occ = [p for p in range(norb) if (base >> p) & 1]
+            virt = [p for p in range(norb) if not (base >> p) & 1]
+            o = occ[r.integers(len(occ))]
+            v = virt[r.integers(len(virt))]
+            new = base ^ (1 << o) ^ (1 << v)
+            if new not in seen:
+                seen.add(new)
+                frontier.append(new)
+                if len(frontier) > 64:
+                    frontier.pop(0)
+        return np.array(sorted(seen), dtype=np.int64)
+
+    strs_a = excitation_strings(m, 1)
+    strs_b = excitation_strings(n, 2)
+    pa = bitpack.pack_ints(strs_a, norb)
+    pb = bitpack.pack_ints(strs_b, norb)
+
+    t_build0 = time.perf_counter()
+    ham64 = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, dtype=jnp.float64)
+    ham32 = ham64.astype(jnp.float32)
+    hd32 = ham32.hdiag.reshape(-1)
+    # force completion of the table build
+    _ = float(jnp.sum(ham32.nbr_val_a)) + float(jnp.sum(hd32))
+    t_build = time.perf_counter() - t_build0
+
+    def solve():
+        v0 = davidson_initial_guess(hd32, jnp.float32)
+        res = davidson_ground_state(
+            sci_matvec_flat, ham32, hd32, v0, tol=3e-4, max_subspace=32, max_iterations=200
+        )
+        vec = res.vector.astype(jnp.float64)
+        hv = sci_matvec_flat(ham64, vec)
+        energy = jnp.vdot(vec, hv) / jnp.vdot(vec, vec)
+        return float(energy), int(res.iterations), float(res.residual_norm)
+
+    # warm-up (compile)
+    energy, iters, rnorm = solve()
+    t0 = time.perf_counter()
+    energy, iters, rnorm = solve()
+    elapsed = time.perf_counter() - t0
+
+    out = {
+        "metric": "davidson_solve_1e6_dets_wallclock",
+        "value": round(elapsed, 4),
+        "unit": "seconds",
+        "vs_baseline": round(CPU_BASELINE_SECONDS / elapsed, 2),
+        "detail": {
+            "dim": m * n,
+            "norb": norb,
+            "energy": energy,
+            "davidson_iterations": iters,
+            "residual_norm": rnorm,
+            "table_build_seconds": round(t_build, 3),
+            "baseline_assumption": f"{CPU_BASELINE_SECONDS}s on 64-core CPU (see docstring)",
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

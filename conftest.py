@@ -15,6 +15,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite compiles many (shape, dtype) solver
+# buckets; caching them across runs cuts wall-clock dramatically.
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 from jax._src import xla_bridge as _xb  # noqa: E402
 
 if _xb.backends_are_initialized():  # a stale axon backend set would pin devices()

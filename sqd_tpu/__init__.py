@@ -32,3 +32,33 @@ from jax import config as _jax_config
 _jax_config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+from .counts import (  # noqa: E402,F401
+    bit_array_to_arrays,
+    bitstring_matrix_to_integers,
+    counts_to_arrays,
+    generate_bit_array_uniform,
+    generate_counts_bipartite_hamming,
+    generate_counts_uniform,
+    normalize_counts_dict,
+)
+from .configuration_recovery import recover_configurations  # noqa: E402,F401
+from .subsampling import (  # noqa: E402,F401
+    postselect_and_subsample,
+    postselect_by_hamming_right_and_left,
+    subsample,
+)
+from .fermion import (  # noqa: E402,F401
+    SCIResult,
+    SCIState,
+    bitstring_matrix_to_ci_strs,
+    diagonalize_fermionic_hamiltonian,
+    enlarge_batch_from_transitions,
+    optimize_orbitals,
+    rotate_integrals,
+    solve_fermion,
+    solve_sci,
+    solve_sci_batch,
+)
+from .primitives import BitArray, Pauli, SparsePauliOp  # noqa: E402,F401
+from . import qubit  # noqa: E402,F401

@@ -1,0 +1,207 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Jitted Davidson eigensolver with fixed-shape workspaces.
+
+TPU-native replacement for PySCF's ``lib.davidson`` (reference SURVEY.md N2):
+the whole iteration — matvec, Rayleigh-Ritz in the Krylov subspace,
+diagonal preconditioning, Gram-Schmidt, thick restart — runs inside one
+``lax.while_loop`` with static shapes, so XLA compiles a single program per
+(subspace-dim, max-subspace) bucket and the TPU never round-trips to the host
+mid-solve.
+
+Design notes:
+* The subspace basis ``V`` and its images ``W = H V`` are fixed ``(mss, dim)``
+  buffers; an integer ``m`` tracks the active rows and masking handles the rest
+  (no dynamic shapes anywhere).
+* Rayleigh-Ritz uses ``jnp.linalg.eigh`` on the masked ``(mss, mss)`` Gram
+  matrix — tiny, so running it every iteration is free compared to a matvec.
+* Restart is "thick": compress to the current best Ritz vector, keep its image,
+  and continue — matching the memory profile PySCF achieves with max_space.
+* The driver runs in the caller's dtype (f32 by default on TPU); callers
+  refine the final energy in f64 (see sqd_tpu.ops.rdm) — the Rayleigh
+  quotient is second-order accurate in the residual, so an f32-converged
+  vector already gives ~1e-10-relative energies in the f64 quotient.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["davidson_ground_state", "davidson_initial_guess", "DavidsonResult"]
+
+
+def davidson_initial_guess(hdiag: jax.Array, dtype=None) -> jax.Array:
+    """Robust start vector: min-diagonal one-hot + a diagonal-weighted spread.
+
+    A bare one-hot at ``argmin(hdiag)`` can be an exact eigenvector of a
+    *disconnected* block of a selected-CI projected Hamiltonian, making
+    Davidson terminate at a non-global eigenvalue.  Adding a small component
+    on every determinant (decaying with the diagonal gap; negligible on
+    huge-diagonal padding entries) guarantees overlap with the true ground
+    state.
+    """
+    dtype = hdiag.dtype if dtype is None else dtype
+    finite = jnp.where(jnp.abs(hdiag) > 1e20, jnp.inf, hdiag)
+    lo = jnp.min(finite)
+    spread = 1.0 / (finite - lo + 1.0)
+    spread = spread / jnp.linalg.norm(spread)
+    v0 = spread * 0.2
+    v0 = v0.at[jnp.argmin(finite)].add(1.0)
+    return v0.astype(dtype)
+
+
+class DavidsonResult(NamedTuple):
+    theta: jax.Array  # lowest Ritz value found
+    vector: jax.Array  # (dim,) normalized Ritz vector
+    residual_norm: jax.Array
+    iterations: jax.Array
+    converged: jax.Array
+
+
+class _State(NamedTuple):
+    v: jax.Array  # (mss, dim) basis
+    w: jax.Array  # (mss, dim) H @ basis
+    t: jax.Array  # (mss, mss) Gram matrix V H V^T
+    m: jax.Array  # active subspace size
+    theta: jax.Array
+    u: jax.Array  # (dim,) current Ritz vector
+    hu: jax.Array  # (dim,) H @ u
+    rnorm: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+def _masked_eigh_min(t: jax.Array, m: jax.Array):
+    """Lowest eigenpair of the active m x m block of t (masked to mss)."""
+    mss = t.shape[0]
+    idx = jnp.arange(mss)
+    active = idx < m
+    mask2 = active[:, None] & active[None, :]
+    big = jnp.asarray(jnp.finfo(t.dtype).max / 4, t.dtype)
+    t_masked = jnp.where(mask2, t, 0.0) + jnp.diag(jnp.where(active, 0.0, big))
+    vals, vecs = jnp.linalg.eigh(t_masked)
+    y = vecs[:, 0] * active  # inactive rows are exactly zero in eigvec 0
+    return vals[0], y
+
+
+@partial(jax.jit, static_argnames=("matvec", "max_subspace", "max_iterations"))
+def davidson_ground_state(
+    matvec: Callable,
+    operator,
+    hdiag: jax.Array,
+    v0: jax.Array,
+    *,
+    tol: float = 1e-5,
+    max_subspace: int = 24,
+    max_iterations: int = 200,
+) -> DavidsonResult:
+    """Find the lowest eigenpair of the implicit symmetric operator.
+
+    Args:
+        matvec: STATIC module-level function ``matvec(operator, x) -> Hx`` on
+            flat (dim,) vectors.  Keeping it a stable function (not a closure)
+            lets XLA reuse the compiled program across solves of the same
+            shape — the operator data travels as the pytree argument.
+        operator: pytree of device arrays consumed by ``matvec`` (e.g. an
+            :class:`~sqd_tpu.ops.hamiltonian.SCIHamiltonian`).
+        hdiag: (dim,) diagonal of H for the preconditioner; padded entries
+            should hold a huge value so they are never selected or amplified.
+        v0: (dim,) initial guess (need not be normalized).
+        tol: residual-norm convergence threshold.
+        max_subspace: Krylov buffer rows (static).
+        max_iterations: matvec budget (static).
+    """
+    dim = hdiag.shape[0]
+    dt = v0.dtype
+    mss = max_subspace
+    eps = float(jnp.finfo(dt).tiny) ** 0.5  # real scalar also for complex dt
+
+    v0 = v0 / jnp.linalg.norm(v0)
+    w0 = matvec(operator, v0)
+    v_buf = jnp.zeros((mss, dim), dt).at[0].set(v0)
+    w_buf = jnp.zeros((mss, dim), dt).at[0].set(w0)
+    t_buf = jnp.zeros((mss, mss), dt).at[0, 0].set(jnp.vdot(v0, w0))
+    theta0 = jnp.real(t_buf[0, 0]).astype(jnp.finfo(dt).dtype)
+    r0 = w0 - theta0 * v0
+    state = _State(
+        v=v_buf,
+        w=w_buf,
+        t=t_buf,
+        m=jnp.asarray(1),
+        theta=theta0,
+        u=v0,
+        hu=w0,
+        rnorm=jnp.linalg.norm(r0),
+        it=jnp.asarray(0),
+        done=jnp.linalg.norm(r0) < tol,
+    )
+
+    def precondition(r, theta):
+        denom = hdiag - theta
+        denom = jnp.where(jnp.abs(denom) < 1e-4, jnp.sign(denom) * 1e-4 + 1e-12, denom)
+        return r / denom
+
+    def orthonormalize(t_vec, v, m):
+        """Two rounds of masked classical Gram-Schmidt; returns (vec, norm)."""
+        active = (jnp.arange(mss) < m).astype(dt)
+        for _ in range(2):
+            coeffs = (v.conj() @ t_vec) * active
+            t_vec = t_vec - v.T @ coeffs
+        nrm = jnp.linalg.norm(t_vec)
+        return t_vec / jnp.maximum(nrm, eps), nrm
+
+    def body(s: _State) -> _State:
+        # residual of current best Ritz pair, preconditioned -> new direction
+        r = s.hu - s.theta * s.u
+        t_new, nrm = orthonormalize(precondition(r, s.theta), s.v, s.m)
+
+        # thick restart when the buffer is full: keep the Ritz vector.
+        def do_restart(s: _State) -> _State:
+            v = jnp.zeros_like(s.v).at[0].set(s.u)
+            w = jnp.zeros_like(s.w).at[0].set(s.hu)
+            t = jnp.zeros_like(s.t).at[0, 0].set(s.theta)
+            return s._replace(v=v, w=w, t=t, m=jnp.asarray(1))
+
+        s = jax.lax.cond(s.m >= mss, do_restart, lambda x: x, s)
+        # re-orthonormalize against (possibly restarted) basis
+        t_new, _ = orthonormalize(t_new, s.v, s.m)
+
+        w_new = matvec(operator, t_new)
+        v = s.v.at[s.m].set(t_new)
+        w = s.w.at[s.m].set(w_new)
+        col = (v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
+        t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
+        m = s.m + 1
+
+        theta, y = _masked_eigh_min(t, m)
+        u = y @ v
+        hu = y @ w
+        rnorm = jnp.linalg.norm(hu - theta * u)
+        return _State(
+            v=v,
+            w=w,
+            t=t,
+            m=m,
+            theta=theta,
+            u=u,
+            hu=hu,
+            rnorm=rnorm,
+            it=s.it + 1,
+            done=rnorm < tol,
+        )
+
+    def cond(s: _State):
+        return (~s.done) & (s.it < max_iterations)
+
+    final = jax.lax.while_loop(cond, body, state)
+    u = final.u / jnp.linalg.norm(final.u)
+    return DavidsonResult(
+        theta=final.theta,
+        vector=u,
+        residual_norm=final.rnorm,
+        iterations=final.it,
+        converged=final.done,
+    )

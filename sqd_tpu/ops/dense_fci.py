@@ -72,18 +72,32 @@ def _single_excitation_matrix(strs, norb: int):
     return out
 
 
+def _full_sector(strs, norb: int):
+    """The complete Hamming sector containing ``strs`` + embedding indices."""
+    nelec = bin(int(strs[0])).count("1")
+    full = all_hamming_strings(norb, nelec)
+    idx = _index_map(full)
+    sel = np.array([idx[int(s)] for s in strs])
+    return full, sel
+
+
 def build_dense_hamiltonian(
     strs_a, strs_b, h1e: np.ndarray, eri: np.ndarray
 ) -> np.ndarray:
-    """Dense projected Hamiltonian over the (strs_a x strs_b) product basis.
+    """Dense projected Hamiltonian ``P H P`` over the (strs_a x strs_b) basis.
 
-    Basis ordering: index = ia * len(strs_b) + ib (row-major over the
-    amplitude matrix, matching ``SCIState.amplitudes``).
+    Built over the *complete* Hamming sectors (where operator products close)
+    and then projected onto the selected product basis — so selected-CI paths
+    through intermediate strings outside the selected sets are included
+    exactly.  Basis ordering: index = ia * len(strs_b) + ib (row-major over
+    the amplitude matrix, matching ``SCIState.amplitudes``).
     """
     norb = h1e.shape[0]
-    na, nb = len(strs_a), len(strs_b)
-    ea = _single_excitation_matrix(strs_a, norb)
-    eb = _single_excitation_matrix(strs_b, norb)
+    full_a, sel_a = _full_sector(strs_a, norb)
+    full_b, sel_b = _full_sector(strs_b, norb)
+    ea = _single_excitation_matrix(full_a, norb)
+    eb = _single_excitation_matrix(full_b, norb)
+    na, nb = len(full_a), len(full_b)
     ia_, ib_ = np.eye(na), np.eye(nb)
 
     def e_pq(p, q):
@@ -98,18 +112,19 @@ def build_dense_hamiltonian(
             h += h1e[p, q] * e_cache[(p, q)]
     for p in range(norb):
         for q in range(norb):
+            acc = np.zeros((dim, dim))
             for r in range(norb):
-                acc = np.zeros((dim, dim))
                 for s in range(norb):
                     acc += eri[p, q, r, s] * e_cache[(r, s)]
-                h += 0.5 * (e_cache[(p, q)] @ acc)
-            # subtract 1/2 sum_s (p q | q s) E_ps  (the d_qr contraction term)
+            h += 0.5 * (e_cache[(p, q)] @ acc)
         for s in range(norb):
             corr = np.zeros((dim, dim))
             for q in range(norb):
                 corr += eri[p, q, q, s] * e_cache[(p, s)]
             h -= 0.5 * corr
-    return h
+    # project onto the selected product basis
+    keep = (sel_a[:, None] * nb + sel_b[None, :]).reshape(-1)
+    return h[np.ix_(keep, keep)]
 
 
 def build_dense_s2(strs_a, strs_b, norb: int) -> np.ndarray:
@@ -125,18 +140,28 @@ def build_dense_s2(strs_a, strs_b, norb: int) -> np.ndarray:
     eb = _single_excitation_matrix(strs_b, norb)
     dim = len(strs_a) * len(strs_b)
     s2 = (sz * sz + sz + nb_e) * np.eye(dim)
+    # The mixed term is a product of independent single-spin matrix elements
+    # (no intermediate strings), so building on the selected sets is exact.
     for p in range(norb):
         for q in range(norb):
             s2 -= np.kron(ea[(p, q)], eb[(q, p)])
     return s2
 
 
+def _embed(vec, strs_a, strs_b, norb):
+    """Embed a selected-basis vector into the full-sector product basis."""
+    full_a, sel_a = _full_sector(strs_a, norb)
+    full_b, sel_b = _full_sector(strs_b, norb)
+    c_full = np.zeros((len(full_a), len(full_b)))
+    c_full[np.ix_(sel_a, sel_b)] = vec.reshape(len(strs_a), len(strs_b))
+    return c_full, full_a, full_b
+
+
 def dense_rdm1s(vec: np.ndarray, strs_a, strs_b, norb: int):
     """Spin-resolved 1-RDMs ``dm1[p, q] = <a+_p a_q>`` of a normalized vector."""
-    na, nb = len(strs_a), len(strs_b)
-    c = vec.reshape(na, nb)
-    ea = _single_excitation_matrix(strs_a, norb)
-    eb = _single_excitation_matrix(strs_b, norb)
+    c, full_a, full_b = _embed(vec, strs_a, strs_b, norb)
+    ea = _single_excitation_matrix(full_a, norb)
+    eb = _single_excitation_matrix(full_b, norb)
     dm_a = np.zeros((norb, norb))
     dm_b = np.zeros((norb, norb))
     for p in range(norb):
@@ -149,12 +174,15 @@ def dense_rdm1s(vec: np.ndarray, strs_a, strs_b, norb: int):
 def dense_rdm12(vec: np.ndarray, strs_a, strs_b, norb: int):
     """Spin-summed (dm1, dm2) with ``dm2[p,q,r,s] = <E_pq E_rs> - d_qr <E_ps>``.
 
-    Satisfies ``E = sum h*dm1 + 1/2 sum (pq|rs) dm2[p,q,r,s]``.
+    Computed in the full-sector embedding (operator products need
+    out-of-subspace intermediates).  Satisfies
+    ``E = sum h*dm1 + 1/2 sum (pq|rs) dm2[p,q,r,s]``.
     """
-    na, nb = len(strs_a), len(strs_b)
-    c = vec.reshape(na * nb)
-    ea = _single_excitation_matrix(strs_a, norb)
-    eb = _single_excitation_matrix(strs_b, norb)
+    c_mat, full_a, full_b = _embed(vec, strs_a, strs_b, norb)
+    na, nb = len(full_a), len(full_b)
+    c = c_mat.reshape(na * nb)
+    ea = _single_excitation_matrix(full_a, norb)
+    eb = _single_excitation_matrix(full_b, norb)
     ia_, ib_ = np.eye(na), np.eye(nb)
     e = {
         (p, q): np.kron(ea[(p, q)], ib_) + np.kron(ia_, eb[(p, q)])
@@ -166,11 +194,12 @@ def dense_rdm12(vec: np.ndarray, strs_a, strs_b, norb: int):
         for q in range(norb):
             dm1[p, q] = c @ (e[(p, q)] @ c)
     dm2 = np.zeros((norb,) * 4)
+    ec = {k: m @ c for k, m in e.items()}
     for p in range(norb):
         for q in range(norb):
             for r in range(norb):
                 for s in range(norb):
-                    dm2[p, q, r, s] = c @ (e[(p, q)] @ (e[(r, s)] @ c))
+                    dm2[p, q, r, s] = ec[(q, p)] @ ec[(r, s)]
                     if q == r:
                         dm2[p, q, r, s] -= dm1[p, s]
     return dm1, dm2

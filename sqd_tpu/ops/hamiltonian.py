@@ -1,0 +1,575 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Selected-CI Hamiltonian application: exact tensor-product decomposition.
+
+TPU-native replacement for PySCF's ``SelectedCI.contract_2e`` C kernel
+(reference hot path, ``fermion.py:513-515``; SURVEY.md N1/N4).  Because the
+subspace is a *Cartesian product* strs_a x strs_b (``fermion.py:49-52``), the
+projected Hamiltonian splits exactly into three channels:
+
+    P H P = H_aa (x) I   +   I (x) H_bb   +   H_ab
+
+* ``H_ab = sum_pqrs (pq|rs) E^a_pq E^b_rs`` — all opposite-spin physics.  Its
+  intermediate states ``(Ja, Ib)`` stay inside the product basis, so it is
+  computed **exactly** as per-pair gathers + one big MXU matmul over the
+  ``norb^2`` pair axis (the FLOP-dominant stage) + gathers back.
+* ``H_aa`` / ``H_bb`` — single-spin one-body + same-spin two-body terms
+  (``sum h a+a + 1/2 sum (pq|rs) a+_p a+_r a_s a_q`` within one spin).  Their
+  double excitations pass through intermediate strings *outside* a selected
+  set, so a factorized contraction would be wrong; instead they are small
+  sparse matrices over one spin sector, stored as padded **neighbor lists**
+  (Slater-Condon values for all singles/doubles present in the set) and
+  applied as row/column gathers weighted on the VPU.  In selected-CI sets the
+  neighbor count per string is tiny, so this channel is bandwidth-light.
+
+The optional spin penalty (PySCF ``fix_spin_``; SURVEY.md N4) is fused:
+``H' = H + shift * (S^2 - ss)`` with
+``S^2 v = (sz^2 + sz + n_b) v - sum_pq E^a_pq E^b_qp v`` — also exact in the
+product basis — reusing the alpha-gathered intermediates of ``H_ab``.
+
+All stages are static-shape and jit/vmap/shard_map-friendly.  Subspace-size
+padding is handled by sentinel gather entries: padded determinants have zero
+couplings everywhere and a huge diagonal, so they stay exactly zero through
+the whole Krylov iteration (SURVEY.md §7 hard part #2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import bitpack, linktab
+
+__all__ = ["SCIHamiltonian", "build_sci_hamiltonian", "build_samespin_tables"]
+
+
+# ---------------------------------------------------------------------------
+# same-spin sparse neighbor tables (Slater-Condon within one spin sector)
+# ---------------------------------------------------------------------------
+
+
+def _candidate_index_arrays(n_occ: int, n_virt: int):
+    """Static candidate enumeration: singles (i, k) and doubles (i<j, k<l)."""
+    si, sk = np.meshgrid(np.arange(n_occ), np.arange(n_virt), indexing="ij")
+    si, sk = si.ravel(), sk.ravel()
+    if n_occ >= 2 and n_virt >= 2:
+        oi, oj = np.triu_indices(n_occ, k=1)
+        vk, vl = np.triu_indices(n_virt, k=1)
+        di = np.repeat(oi, len(vk))
+        dj = np.repeat(oj, len(vk))
+        dk = np.tile(vk, len(oi))
+        dl = np.tile(vl, len(oi))
+    else:
+        di = dj = dk = dl = np.zeros(0, dtype=np.int64)
+    return (si, sk), (di, dj, dk, dl)
+
+
+@partial(jax.jit, static_argnames=("norb", "nelec_spin"))
+def _samespin_candidates(strs, h1e, eri, norb: int, nelec_spin: int):
+    """All candidate (neighbor index, Slater-Condon value, valid) per string.
+
+    Returns (idx, val, valid) each of shape ``(n, C)`` with
+    ``C = 1 + singles + doubles`` candidates per row.
+    """
+    n = strs.shape[0]
+    nv = norb - nelec_spin
+    occ = linktab.occupancy_matrix(strs, norb)  # (n, norb) 0/1
+    # occupied positions ascending, then virtual positions ascending
+    sort_key = (1 - occ) * norb + jnp.arange(norb)[None, :]
+    pos = jnp.argsort(sort_key, axis=1)
+    occ_pos = pos[:, :nelec_spin]  # (n, na)
+    virt_pos = pos[:, nelec_spin:]  # (n, nv)
+
+    bits = jnp.asarray(bitpack.bit_masks(norb))  # (norb, W)
+    prefix = jnp.asarray(bitpack.prefix_masks(norb))  # (norb+1, W)
+    eri_flat = eri.reshape(-1)
+    dt = eri.dtype
+
+    # mean-field weights for singles: Wx[pq, k] = (pq|kk) - (pk|kq)
+    wx = (jnp.einsum("pqkk->pqk", eri) - jnp.einsum("pkkq->pqk", eri)).reshape(
+        norb * norb, norb
+    )
+    mf = occ.astype(dt) @ wx.T  # (n, npair)
+
+    # one-spin diagonal: occ.h_diag + 1/2 occ (J - K) occ
+    hd = jnp.diagonal(h1e)
+    jm = jnp.einsum("ppqq->pq", eri)
+    km = jnp.einsum("pqqp->pq", eri)
+    od = occ.astype(dt)
+    diag = od @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", od, jm - km, od)
+
+    (si, sk), (di, dj, dk, dl) = _candidate_index_arrays(nelec_spin, nv)
+    si, sk = jnp.asarray(si), jnp.asarray(sk)
+    di, dj, dk, dl = map(jnp.asarray, (di, dj, dk, dl))
+
+    def parity_bits(x, t):
+        # popcount(x & bits_below(t)); t is a traced orbital index
+        return bitpack.jnp_popcount_rows(x & prefix[t])
+
+    def per_row(j_str, opos, vpos, mf_row, diag_val, row_i):
+        # --- diagonal ------------------------------------------------------
+        idx0 = row_i[None]
+        val0 = diag_val[None]
+        ok0 = jnp.ones((1,), bool)
+
+        # --- singles: I = J - p + q, p occupied in J, q virtual in J --------
+        p = opos[si]  # (ns,)
+        q = vpos[sk]
+        i_str = j_str[None, :] ^ bits[p] ^ bits[q]  # (ns, W)
+        # sign of <J|a+_p a_q|I>, evaluated on I: remove q, then add p
+        s_par = parity_bits(i_str, q) + parity_bits(i_str, p) - (q < p).astype(jnp.int32)
+        sgn = jnp.where(s_par % 2 == 0, 1.0, -1.0).astype(dt)
+        pq = p * norb + q
+        val1 = sgn * (h1e[p, q] + mf_row[pq] - wx[pq, p])
+        idx1 = bitpack.jnp_find_packed(strs, i_str)
+        ok1 = idx1 >= 0
+
+        # --- doubles: I = J - p - r + q + s ---------------------------------
+        if di.shape[0] > 0:
+            dp = opos[di]
+            dr = opos[dj]
+            dq = vpos[dk]
+            ds = vpos[dl]
+            i2 = j_str[None, :] ^ bits[dp] ^ bits[dr] ^ bits[dq] ^ bits[ds]
+            # g = sign of a+_p a+_r a_s a_q applied to I (sequential parities)
+            x0 = i2
+            t1 = parity_bits(x0, dq)
+            x1 = x0 ^ bits[dq]
+            t2 = parity_bits(x1, ds)
+            x2 = x1 ^ bits[ds]
+            t3 = parity_bits(x2, dr)
+            x3 = x2 ^ bits[dr]
+            t4 = parity_bits(x3, dp)
+            g = jnp.where((t1 + t2 + t3 + t4) % 2 == 0, 1.0, -1.0).astype(dt)
+
+            def e4(a, b, c, d):
+                return eri_flat[((a * norb + b) * norb + c) * norb + d]
+
+            val2 = (
+                0.5
+                * g
+                * (e4(dp, dq, dr, ds) + e4(dr, ds, dp, dq) - e4(dp, ds, dr, dq) - e4(dr, dq, dp, ds))
+            )
+            idx2 = bitpack.jnp_find_packed(strs, i2)
+            ok2 = idx2 >= 0
+            idx_all = jnp.concatenate([idx0, idx1, idx2])
+            val_all = jnp.concatenate([val0, val1, val2])
+            ok_all = jnp.concatenate([ok0, ok1, ok2])
+        else:
+            idx_all = jnp.concatenate([idx0, idx1])
+            val_all = jnp.concatenate([val0, val1])
+            ok_all = jnp.concatenate([ok0, ok1])
+        idx_all = jnp.where(ok_all, idx_all, 0).astype(jnp.int32)  # clamped (val 0)
+        val_all = jnp.where(ok_all, val_all, 0.0)
+        return idx_all, val_all, ok_all
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    return jax.vmap(per_row)(strs, occ_pos, virt_pos, mf, diag, rows)
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _compact_candidates(idx, val, valid, width: int):
+    """Stable-sort valid candidates to the front of each row; trim to width."""
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    idx_c = jnp.take_along_axis(idx, order, axis=1)[:, :width]
+    val_c = jnp.take_along_axis(val, order, axis=1)[:, :width]
+    return idx_c, val_c
+
+
+def build_samespin_tables(
+    strs_packed, h1e, eri, norb: int, nelec_spin: int, *, bucket: int = 8
+):
+    """Padded neighbor lists for one spin sector's H_ss (diag+singles+doubles).
+
+    Returns (idx, val): ``(n, L) int32 / dtype`` with sentinel index ``n``
+    and value 0 in unused slots.  ``L`` is the max per-row neighbor count
+    rounded up to ``bucket`` (host sync once at build time).
+    """
+    strs = jnp.asarray(strs_packed)
+    idx, val, valid = _samespin_candidates(
+        strs, jnp.asarray(h1e), jnp.asarray(eri), norb, int(nelec_spin)
+    )
+    max_count = int(jnp.max(jnp.sum(valid, axis=1)))
+    width = min(idx.shape[1], max(bucket, -(-max_count // bucket) * bucket))
+    return _compact_candidates(idx, val, valid, width)
+
+
+# ---------------------------------------------------------------------------
+# the assembled operator
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SCIHamiltonian:
+    """Device-resident projected Hamiltonian over a (strs_a x strs_b) basis.
+
+    The amplitude layout is an ``(M, N)`` matrix over (alpha strings x beta
+    strings), mirroring ``SCIState.amplitudes`` in the reference
+    (``fermion.py:49-52``).
+    """
+
+    # single-excitation gather tables (exact cross-spin + RDM machinery)
+    src_a: jax.Array  # (npair, M) int32
+    sign_a: jax.Array  # (npair, M) int8
+    src_b: jax.Array  # (npair, N) int32
+    sign_b: jax.Array  # (npair, N) int8
+    # same-spin sparse neighbor lists (Slater-Condon values)
+    nbr_idx_a: jax.Array  # (M, La) int32, sentinel M
+    nbr_val_a: jax.Array  # (M, La)
+    nbr_idx_b: jax.Array  # (N, Lb) int32, sentinel N
+    nbr_val_b: jax.Array  # (N, Lb)
+    # cross-spin contraction coefficients: eri^T as (npair, npair)
+    eri_t: jax.Array
+    hdiag: jax.Array  # (M, N)
+    norb: int
+    nelec: tuple[int, int]
+    # spin penalty: H + shift * (S^2 - spin_sq); shift == 0 disables.
+    spin_shift: float = 0.0
+    spin_target: float = 0.0
+    # beta-column block size for the two-pass cross-spin channel (0 = one pass).
+    col_block: int = 0
+
+    # -- pytree plumbing ----------------------------------------------------
+    def tree_flatten(self):
+        children = (
+            self.src_a,
+            self.sign_a,
+            self.src_b,
+            self.sign_b,
+            self.nbr_idx_a,
+            self.nbr_val_a,
+            self.nbr_idx_b,
+            self.nbr_val_b,
+            self.eri_t,
+            self.hdiag,
+        )
+        aux = (self.norb, self.nelec, self.spin_shift, self.spin_target, self.col_block)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        norb, nelec, shift, target, col_block = aux
+        return cls(
+            *children,
+            norb=norb,
+            nelec=nelec,
+            spin_shift=shift,
+            spin_target=target,
+            col_block=col_block,
+        )
+
+    def astype(self, dtype) -> "SCIHamiltonian":
+        """Cast the floating-point payload once (so matvecs avoid per-call casts)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            eri_t=self.eri_t.astype(dtype),
+            nbr_val_a=self.nbr_val_a.astype(dtype),
+            nbr_val_b=self.nbr_val_b.astype(dtype),
+            hdiag=self.hdiag.astype(dtype),
+        )
+
+    # -- shapes --------------------------------------------------------------
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.src_a.shape[1], self.src_b.shape[1]
+
+    @property
+    def dim(self) -> int:
+        m, n = self.shape
+        return m * n
+
+    # -- building blocks -------------------------------------------------------
+    # NOTE: all index tables are CLAMPED at build time — invalid entries point
+    # at a valid slot with sign/value 0, so no pad rows/columns (and no
+    # per-matvec concatenations) are ever needed.
+
+    def gather_alpha(self, c: jax.Array) -> jax.Array:
+        """``D_a[pq] = E^a_pq c`` for all pairs: (npair, M, N) via row gathers."""
+        dt = c.dtype
+        return self.sign_a.astype(dt)[:, :, None] * c[self.src_a]
+
+    def gather_beta(self, c: jax.Array) -> jax.Array:
+        """``D_b[pq] = E^b_pq c``: (npair, M, N) via column gathers."""
+        dt = c.dtype
+        g = jnp.take(c, self.src_b, axis=1)  # (M, npair, N)
+        return jnp.swapaxes(g, 0, 1) * self.sign_b.astype(dt)[:, None, :]
+
+    def scatter_alpha(self, g: jax.Array) -> jax.Array:
+        """``sum_pq E^a_pq g[pq]`` — same tables, gather form (no scatters)."""
+        dt = g.dtype
+        picked = jnp.take_along_axis(g, self.src_a[:, :, None].astype(jnp.int32), axis=1)
+        return jnp.sum(self.sign_a.astype(dt)[:, :, None] * picked, axis=0)
+
+    def scatter_beta(self, g: jax.Array) -> jax.Array:
+        dt = g.dtype
+        picked = jnp.take_along_axis(g, self.src_b[:, None, :].astype(jnp.int32), axis=2)
+        return jnp.sum(self.sign_b.astype(dt)[:, None, :] * picked, axis=0)
+
+    def apply_samespin_alpha(self, c: jax.Array) -> jax.Array:
+        """``(H_aa (x) I) c`` via the neighbor list (row gathers)."""
+        dt = c.dtype
+        picked = c[self.nbr_idx_a]  # (M, La, N)
+        return jnp.einsum("jl,jln->jn", self.nbr_val_a.astype(dt), picked)
+
+    def apply_samespin_beta(self, c: jax.Array) -> jax.Array:
+        """``(I (x) H_bb) c`` via the neighbor list (column gathers)."""
+        dt = c.dtype
+        picked = jnp.take(c, self.nbr_idx_b, axis=1)  # (M, N, Lb)
+        return jnp.einsum("kl,mkl->mk", self.nbr_val_b.astype(dt), picked)
+
+    def _qp_perm(self) -> np.ndarray:
+        npair = self.norb * self.norb
+        p, q = np.divmod(np.arange(npair), self.norb)
+        return q * self.norb + p
+
+    def s2_apply_from_alpha(self, d_a: jax.Array, c: jax.Array) -> jax.Array:
+        """``S^2 c`` given ``d_a = gather_alpha(c)`` (exact in product basis)."""
+        n_a, n_b = self.nelec
+        sz = 0.5 * (n_a - n_b)
+        const = sz * sz + sz + n_b
+        perm = jnp.asarray(self._qp_perm())
+        dt = c.dtype
+        src_qp = self.src_b[perm]  # (npair, N)
+        sign_qp = self.sign_b[perm]
+        picked = jnp.take_along_axis(d_a, src_qp[:, None, :].astype(jnp.int32), axis=2)
+        mixed = jnp.sum(sign_qp.astype(dt)[:, None, :] * picked, axis=0)
+        return const * c - mixed
+
+    # -- the operator -----------------------------------------------------------
+    def matvec(self, c: jax.Array) -> jax.Array:
+        """``sigma = (P H P) c`` (+ fused spin penalty if configured)."""
+        if self.col_block and c.shape[1] > self.col_block:
+            return self._matvec_blocked(c)
+        return self._matvec_full(c)
+
+    def _matvec_full(self, c: jax.Array) -> jax.Array:
+        dt = c.dtype
+        m, n = c.shape
+        npair = self.norb * self.norb
+        d_a = self.gather_alpha(c)  # (npair, M, N)
+        # cross-spin: sigma_ab = sum_rs E^b_rs [ sum_pq (pq|rs) E^a_pq c ]
+        g = jnp.matmul(
+            self.eri_t.astype(dt), d_a.reshape(npair, m * n), preferred_element_type=dt
+        ).reshape(npair, m, n)
+        sigma = self.scatter_beta(g)
+        sigma = sigma + self.apply_samespin_alpha(c) + self.apply_samespin_beta(c)
+        if self.spin_shift != 0.0:
+            s2c = self.s2_apply_from_alpha(d_a, c)
+            sigma = sigma + self.spin_shift * (s2c - self.spin_target * c)
+        return sigma
+
+    def _matvec_blocked(self, c: jax.Array) -> jax.Array:
+        """Two-pass, beta-column-blocked application with bounded HBM temps.
+
+        Pass 1 builds ``G'[rs] = sum_pq (pq|rs) E^a_pq c`` one column block at
+        a time into an output-major ``(M, N, npair)`` HBM buffer — keeping the
+        large dimension as matmul *output rows* so XLA tiles instead of
+        K-splitting into full-size accumulators.  Pass 2 applies the beta
+        gathers (which cross column blocks) plus the same-spin neighbor lists
+        per output block.
+        """
+        dt = c.dtype
+        m, n = c.shape
+        npair = self.norb * self.norb
+        cb = self.col_block
+        nblk = n // cb
+        if n % cb:
+            raise ValueError(f"N = {n} must be a multiple of col_block = {cb}")
+        sign_a_f = self.sign_a.astype(dt)
+        eri_m = self.eri_t.astype(dt).T  # [pq, rs] = (pq|rs)
+        with_penalty = self.spin_shift != 0.0
+
+        def pass1(i, bufs):
+            gt, dat = bufs
+            blk = jax.lax.dynamic_slice(c, (0, i * cb), (m, cb))
+            d = sign_a_f[:, :, None] * blk[self.src_a]  # (npair, m, cb)
+            d_t = jnp.transpose(d, (1, 2, 0)).reshape(m * cb, npair)
+            g_blk = jnp.matmul(d_t, eri_m, preferred_element_type=dt)
+            gt = jax.lax.dynamic_update_slice(
+                gt, g_blk.reshape(m, cb, npair), (0, i * cb, 0)
+            )
+            if with_penalty:
+                dat = jax.lax.dynamic_update_slice(
+                    dat, jnp.transpose(d, (1, 2, 0)), (0, i * cb, 0)
+                )
+            return gt, dat
+
+        gt0 = jnp.zeros((m, n, npair), dt)
+        dat0 = jnp.zeros((m, n, npair), dt) if with_penalty else jnp.zeros((1, 1, 1), dt)
+        gt, dat = jax.lax.fori_loop(0, nblk, pass1, (gt0, dat0))
+
+        perm = jnp.asarray(self._qp_perm())
+        src_qp = self.src_b[perm]
+        sign_qp = self.sign_b[perm].astype(dt)
+        sign_b_f = self.sign_b.astype(dt)
+        nbr_val_b_f = self.nbr_val_b.astype(dt)
+        n_a, n_b = self.nelec
+        sz = 0.5 * (n_a - n_b)
+        s2_const = sz * sz + sz + n_b
+
+        def pass2(i, sigma):
+            cols = slice(None)  # noqa: F841  (clarity)
+            src_blk = jax.lax.dynamic_slice(self.src_b, (0, i * cb), (npair, cb))
+            sgn_blk = jax.lax.dynamic_slice(sign_b_f, (0, i * cb), (npair, cb))
+            # cross-spin: sum_rs sign_b[rs, col] * G'[j, src_b[rs, col], rs]
+            picked = gt[:, src_blk.T, jnp.arange(npair)[None, :]]  # (m, cb, npair)
+            sig_blk = jnp.einsum("jcr,rc->jc", picked, sgn_blk)
+            # same-spin alpha on this block (row gathers of the column block)
+            blk = jax.lax.dynamic_slice(c, (0, i * cb), (m, cb))
+            sig_blk = sig_blk + jnp.einsum(
+                "jl,jlc->jc", self.nbr_val_a.astype(dt), blk[self.nbr_idx_a]
+            )
+            # same-spin beta for these output columns (gathers across blocks)
+            idx_b_blk = jax.lax.dynamic_slice(
+                self.nbr_idx_b, (i * cb, 0), (cb, self.nbr_idx_b.shape[1])
+            )
+            val_b_blk = jax.lax.dynamic_slice(
+                nbr_val_b_f, (i * cb, 0), (cb, nbr_val_b_f.shape[1])
+            )
+            picked_b = jnp.take(c, idx_b_blk, axis=1)  # (m, cb, Lb)
+            sig_blk = sig_blk + jnp.einsum("kl,mkl->mk", val_b_blk, picked_b)
+            if with_penalty:
+                srcq_blk = jax.lax.dynamic_slice(src_qp, (0, i * cb), (npair, cb))
+                sgnq_blk = jax.lax.dynamic_slice(sign_qp, (0, i * cb), (npair, cb))
+                picked_s2 = dat[:, srcq_blk.T, jnp.arange(npair)[None, :]]
+                mixed = jnp.einsum("jcr,rc->jc", picked_s2, sgnq_blk)
+                sig_blk = sig_blk + self.spin_shift * (
+                    s2_const * blk - mixed - self.spin_target * blk
+                )
+            return jax.lax.dynamic_update_slice(sigma, sig_blk, (0, i * cb))
+
+        return jax.lax.fori_loop(0, nblk, pass2, jnp.zeros((m, n), dt))
+
+    def spin_square(self, c: jax.Array) -> jax.Array:
+        """``<c|S^2|c> / <c|c>``."""
+        d_a = self.gather_alpha(c)
+        s2c = self.s2_apply_from_alpha(d_a, c)
+        return jnp.vdot(c, s2c) / jnp.vdot(c, c)
+
+
+def sci_matvec_flat(ham: SCIHamiltonian, x: jax.Array) -> jax.Array:
+    """Flat-vector matvec adapter for the Davidson driver.
+
+    Module-level (stable identity) so jit caches one compiled program per
+    shape bucket; the Hamiltonian travels as a pytree operand.
+    """
+    m, n = ham.shape
+    return ham.matvec(x.reshape(m, n)).reshape(-1)
+
+
+def _hdiag(occ_a, occ_b, h1e, eri, dtype):
+    """Diagonal ``<Ia Ib|H|Ia Ib>`` from occupation-number matrices (all matmuls)."""
+    hd = jnp.diagonal(h1e)
+    jm = jnp.einsum("ppqq->pq", eri)
+    km = jnp.einsum("pqqp->pq", eri)
+    oa = occ_a.astype(dtype)
+    ob = occ_b.astype(dtype)
+    jk = jm - km
+    a_part = oa @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", oa, jk, oa)
+    b_part = ob @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", ob, jk, ob)
+    cross = oa @ jm @ ob.T
+    return a_part[:, None] + b_part[None, :] + cross
+
+
+def build_sci_hamiltonian(
+    strs_a_packed: np.ndarray,
+    strs_b_packed: np.ndarray,
+    h1e: np.ndarray,
+    eri: np.ndarray,
+    norb: int,
+    nelec: tuple[int, int],
+    *,
+    spin_shift: float = 0.0,
+    spin_target: float = 0.0,
+    dtype=jnp.float64,
+    pad_to: tuple[int, int] | None = None,
+    col_block: int | str = "auto",
+) -> SCIHamiltonian:
+    """Assemble the device-resident projected Hamiltonian.
+
+    Args:
+        strs_a_packed / strs_b_packed: sorted unique packed CI strings.
+        h1e, eri: integrals (chemist convention) — host numpy, moved to HBM.
+        norb: number of spatial orbitals.
+        nelec: (n_alpha, n_beta).
+        spin_shift / spin_target: fused penalty ``shift * (S^2 - target)``.
+        dtype: working dtype of coefficient arrays / hdiag.
+        pad_to: optional (M_pad, N_pad) — padded determinants are inert
+            (sentinel gather entries, huge hdiag) so bucketing subspace sizes
+            avoids XLA recompilation storms (SURVEY.md §7 hard part #2).
+    """
+    strs_a = jnp.asarray(strs_a_packed)
+    strs_b = jnp.asarray(strs_b_packed)
+    m, n = strs_a.shape[0], strs_b.shape[0]
+    n_a, n_b = (int(x) for x in nelec)
+    h1e_d = jnp.asarray(h1e, dtype)
+    eri_d = jnp.asarray(eri, dtype)
+
+    src_a, sign_a = linktab.build_gather_tables(strs_a, norb)
+    src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
+    nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
+    nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
+    occ_a = linktab.occupancy_matrix(strs_a, norb)
+    occ_b = linktab.occupancy_matrix(strs_b, norb)
+    hd = _hdiag(occ_a, occ_b, h1e_d, eri_d, dtype)
+
+    # --- choose the beta-column block size for the cross-spin channel -------
+    npair = norb * norb
+    m_pad, n_pad = pad_to if pad_to is not None else (m, n)
+    if m_pad < m or n_pad < n:
+        raise ValueError(f"pad_to {pad_to} smaller than subspace ({m}, {n})")
+    if col_block == "auto":
+        budget_elems = 48 * 1024 * 1024  # ~192 MB of f32 per-block temporaries
+        if npair * m_pad * n_pad > budget_elems:
+            cb = max(128, min(n_pad, budget_elems // (npair * m_pad)))
+            cb = max(128, (cb // 128) * 128)
+            col_block = cb if cb < n_pad else 0
+        else:
+            col_block = 0
+    col_block = int(col_block)
+    if col_block:
+        n_pad = -(-n_pad // col_block) * col_block  # blocked pass needs N % cb == 0
+    pad_to = (m_pad, n_pad) if (m_pad, n_pad) != (m, n) else None
+
+    if pad_to is not None:
+        m_pad, n_pad = pad_to
+        # all tables are clamped (invalid -> index 0 with zero weight), so
+        # padding just extends them with zero-weight entries.
+        src_a = jnp.pad(src_a, ((0, 0), (0, m_pad - m)))
+        sign_a = jnp.pad(sign_a, ((0, 0), (0, m_pad - m)))
+        src_b = jnp.pad(src_b, ((0, 0), (0, n_pad - n)))
+        sign_b = jnp.pad(sign_b, ((0, 0), (0, n_pad - n)))
+        nbr_idx_a = jnp.pad(nbr_idx_a, ((0, m_pad - m), (0, 0)))
+        nbr_val_a = jnp.pad(nbr_val_a, ((0, m_pad - m), (0, 0)))
+        nbr_idx_b = jnp.pad(nbr_idx_b, ((0, n_pad - n), (0, 0)))
+        nbr_val_b = jnp.pad(nbr_val_b, ((0, n_pad - n), (0, 0)))
+        big = jnp.asarray(1e30, dtype)
+        hd = jnp.pad(hd, ((0, m_pad - m), (0, n_pad - n)), constant_values=big)
+
+    eri_t = jnp.asarray(
+        np.asarray(eri).reshape(norb * norb, norb * norb).T.copy(), dtype
+    )
+    return SCIHamiltonian(
+        src_a=src_a,
+        sign_a=sign_a,
+        src_b=src_b,
+        sign_b=sign_b,
+        nbr_idx_a=nbr_idx_a,
+        nbr_val_a=nbr_val_a,
+        nbr_idx_b=nbr_idx_b,
+        nbr_val_b=nbr_val_b,
+        eri_t=eri_t,
+        hdiag=hd,
+        norb=norb,
+        nelec=(n_a, n_b),
+        spin_shift=float(spin_shift),
+        spin_target=float(spin_target),
+        col_block=col_block,
+    )

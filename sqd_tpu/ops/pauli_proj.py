@@ -1,0 +1,130 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Pauli-operator projection onto a computational-basis subspace (device kernels).
+
+TPU-native replacement for the reference's per-term JAX kernels + explicit
+``scipy.sparse.coo_matrix`` accumulation (``qubit.py:78-144, 167-300``;
+SURVEY.md C14/C15/N5).  Differences by design:
+
+* Bitstrings are packed uint32 words — the reference's 63-qubit ceiling
+  (``qubit.py:62``) does not exist here.
+* For each Pauli term ``P = (z, x)`` the connected configuration of a basis
+  state is ``conn = bits XOR x`` and the amplitude is
+  ``i^{#Y} * (-1)^{popcount(bits AND z)}`` (the same qubit-wise algebra as
+  reference ``qubit.py:213-268``, vectorized over packed words).
+* Membership of connected strings resolves by branchless binary search over
+  the sorted packed set, producing a **permutation table** per term.  The
+  projected operator is then *matrix-free*: ``(H v)[i] = sum_t c_t a_t[i] *
+  v[perm_t[i]]`` — pure gathers, no sparse matrix is ever materialized
+  (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import bitpack
+
+__all__ = ["pauli_masks_to_packed", "connected_table", "ProjectedPauliOperator", "build_projected_operator"]
+
+
+def pauli_masks_to_packed(z: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(z, x) boolean qubit masks -> packed uint32 words (bit q = qubit q)."""
+    # qubit q == bit q: reverse into the bool-matrix column convention
+    zrow = np.asarray(z, dtype=bool)[::-1][None, :]
+    xrow = np.asarray(x, dtype=bool)[::-1][None, :]
+    return bitpack.pack_bool_matrix(zrow)[0], bitpack.pack_bool_matrix(xrow)[0]
+
+
+@jax.jit
+def connected_table(sorted_packed, z_words, x_words):
+    """Per-row (column index, sign) of one Pauli term over the sorted subspace.
+
+    Returns ``(col, sign)``: ``col[i]`` is the subspace index of
+    ``bits_i XOR x`` (or ``d`` if absent), ``sign[i] = (-1)^{popcount(b & z)}``.
+    The constant ``i^{#Y}`` phase is NOT included (multiply per term).
+    """
+    d = sorted_packed.shape[0]
+    conn = sorted_packed ^ x_words[None, :]
+    col = bitpack.jnp_find_packed(sorted_packed, conn)
+    sign = 1 - 2 * (bitpack.jnp_popcount_rows(sorted_packed & z_words[None, :]) % 2)
+    ok = col >= 0
+    return jnp.where(ok, col, d).astype(jnp.int32), jnp.where(ok, sign, 0).astype(jnp.int8)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class ProjectedPauliOperator:
+    """Matrix-free projected Pauli-sum over a sorted bitstring subspace."""
+
+    perm: jax.Array  # (T, d) int32 — connected-state index per row, sentinel d
+    sign: jax.Array  # (T, d) int8 — (-1)^(b & z) per row, 0 where absent
+    coeff: jax.Array  # (T,) complex — term coefficient * i^{#Y}
+    hdiag: jax.Array  # (d,) — real diagonal (for preconditioning)
+
+    def tree_flatten(self):
+        return (self.perm, self.sign, self.coeff, self.hdiag), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def dim(self) -> int:
+        return self.perm.shape[1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.dim, self.dim)
+
+    def matvec(self, v: jax.Array) -> jax.Array:
+        """``H v`` via per-term gathers.
+
+        Convention matches the reference projection (``qubit.py:167-240``):
+        ``A[row, col] = amp(row)`` with ``col`` the connected index, i.e.
+        ``(H v)[row] = sum_t c_t a_t(row) v[col_t(row)]``.
+        """
+        dt = v.dtype
+        v_pad = jnp.concatenate([v, jnp.zeros((1,), dt)])
+        picked = v_pad[self.perm]  # (T, d)
+        weights = self.coeff.astype(dt)[:, None] * self.sign.astype(dt)
+        return jnp.sum(weights * picked, axis=0)
+
+
+def pauli_apply_flat(op: ProjectedPauliOperator, v: jax.Array) -> jax.Array:
+    """Module-level matvec adapter (stable identity for jit caching)."""
+    return op.matvec(v)
+
+
+def build_projected_operator(sorted_packed: np.ndarray, paulis, coeffs) -> ProjectedPauliOperator:
+    """Assemble the matrix-free projected operator for a Pauli sum.
+
+    Args:
+        sorted_packed: (d, W) uint32 — sorted unique packed bitstrings.
+        paulis: sequence of :class:`sqd_tpu.primitives.Pauli`.
+        coeffs: complex coefficients.
+    """
+    sp = jnp.asarray(sorted_packed)
+    d = sp.shape[0]
+    perms, signs, cs = [], [], []
+    for pauli, c in zip(paulis, np.asarray(coeffs)):
+        zw, xw = pauli_masks_to_packed(pauli.z, pauli.x)
+        col, sign = connected_table(sp, jnp.asarray(zw), jnp.asarray(xw))
+        n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
+        perms.append(col)
+        signs.append(sign)
+        cs.append(complex(c) * (1j**n_y))
+    perm = jnp.stack(perms)
+    sign = jnp.stack(signs)
+    coeff = jnp.asarray(np.array(cs, dtype=np.complex128))
+    rows = jnp.arange(d, dtype=jnp.int32)
+    diag_mask = (perm == rows[None, :]).astype(jnp.float64)
+    hdiag = jnp.real(
+        jnp.sum(coeff[:, None] * sign.astype(jnp.complex128) * diag_mask, axis=0)
+    )
+    return ProjectedPauliOperator(perm=perm, sign=sign, coeff=coeff, hdiag=hdiag)

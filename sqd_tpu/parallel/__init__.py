@@ -1,2 +1,5 @@
 # (C) 2026. Licensed under the Apache License, Version 2.0.
 """Mesh sharding of independent batch diagonalizations (ICI data parallelism)."""
+
+from .batch_solver import solve_sci_batch_sharded  # noqa: F401
+from .mesh import batch_sharding, default_mesh  # noqa: F401

@@ -1,0 +1,171 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Qubit-path SQD: Pauli-operator projection and subspace eigensolve.
+
+TPU-native re-implementation of reference ``qiskit_addon_sqd/qubit.py``.  The
+public surface is identical (``solve_qubit``, ``project_operator_to_subspace``,
+``matrix_elements_from_pauli``, ``sort_and_remove_duplicates``) with two
+deliberate upgrades:
+
+* no 63-qubit ceiling — bitstrings are packed uint32 words
+  (the reference raises ``ValueError`` above 63 bits, ``qubit.py:62``);
+* a matrix-free device path: :func:`solve_qubit_device` diagonalizes the
+  projected operator with the jitted Davidson over per-term permutation
+  tables, never materializing a sparse matrix (SURVEY.md N5 north star).
+  ``solve_qubit`` itself keeps the reference's contract (explicit sparse
+  matrix + ``scipy.sparse.linalg.eigsh`` with passthrough kwargs) so scipy
+  options keep working verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import coo_matrix, spmatrix
+from scipy.sparse.linalg import eigsh
+
+import jax.numpy as jnp
+
+from .ops import bitpack
+from .ops.davidson import davidson_ground_state, davidson_initial_guess
+from .ops.pauli_proj import (
+    ProjectedPauliOperator,
+    build_projected_operator,
+    connected_table,
+    pauli_apply_flat,
+    pauli_masks_to_packed,
+)
+
+__all__ = [
+    "solve_qubit",
+    "solve_qubit_device",
+    "project_operator_to_subspace",
+    "build_projected_operator",
+    "sort_and_remove_duplicates",
+    "matrix_elements_from_pauli",
+]
+
+
+def sort_and_remove_duplicates(bitstring_matrix: np.ndarray) -> np.ndarray:
+    """Sort rows ascending by unsigned-integer value and drop duplicates.
+
+    Mirrors reference ``qubit.py:147-164`` via the packed-word sort.
+    """
+    packed = bitpack.pack_bool_matrix(bitstring_matrix)
+    uniq = bitpack.unique_packed(packed)
+    return bitpack.unpack_to_bool_matrix(uniq, bitstring_matrix.shape[1])
+
+
+def matrix_elements_from_pauli(
+    bitstring_matrix: np.ndarray, pauli
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sparse matrix elements of one Pauli term in the subspace.
+
+    Same contract as reference ``qubit.py:167-240``: for the (sorted, unique)
+    rows of ``bitstring_matrix``, returns ``(amplitudes, rows, cols)`` such
+    that ``A[rows[k], cols[k]] = amplitudes[k]``.  Unlike the reference there
+    is no 63-qubit limit.
+
+    Args:
+        bitstring_matrix: 2D bool array, rows sorted ascending by unsigned
+            integer value and unique (see :func:`sort_and_remove_duplicates`).
+        pauli: a :class:`sqd_tpu.primitives.Pauli` (or any object with boolean
+            ``z``/``x`` arrays in qubit order, e.g. a Qiskit ``Pauli``).
+    """
+    packed = jnp.asarray(bitpack.pack_bool_matrix(bitstring_matrix))
+    zw, xw = pauli_masks_to_packed(np.asarray(pauli.z), np.asarray(pauli.x))
+    col, sign = connected_table(packed, jnp.asarray(zw), jnp.asarray(xw))
+    col = np.asarray(col)
+    sign = np.asarray(sign)
+    d = len(col)
+    keep = col < d
+    n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
+    amplitudes = (1j**n_y) * sign[keep].astype(np.complex128)
+    rows = np.arange(d)[keep]
+    cols = col[keep].astype(np.int64)
+    return amplitudes, rows, cols
+
+
+def project_operator_to_subspace(
+    bitstring_matrix: np.ndarray,
+    hamiltonian,
+    *,
+    verbose: bool = False,
+) -> spmatrix:
+    """Project a Pauli sum onto the subspace as a ``scipy.sparse.coo_matrix``.
+
+    API-parity with reference ``qubit.py:78-144`` (rows = input configuration,
+    cols = connected configuration).  The per-term connected-element work runs
+    on device; only the final COO assembly is on host.  For a fully
+    matrix-free projected operator use
+    :func:`sqd_tpu.ops.pauli_proj.build_projected_operator` instead.
+    """
+    d, _ = bitstring_matrix.shape
+    operator = coo_matrix((d, d), dtype="complex128")
+    for i, pauli in enumerate(hamiltonian.paulis):
+        coefficient = complex(hamiltonian.coeffs[i])
+        if verbose:  # pragma: no cover
+            print(
+                f"Projecting term {i + 1} out of {hamiltonian.size}: "
+                f"{coefficient} * {pauli.to_label()} ..."
+            )
+        amplitudes, rows, cols = matrix_elements_from_pauli(bitstring_matrix, pauli)
+        operator += coefficient * coo_matrix((amplitudes, (rows, cols)), (d, d))
+    return operator
+
+
+def solve_qubit(
+    bitstring_matrix: np.ndarray,
+    hamiltonian,
+    *,
+    verbose: bool = False,
+    **scipy_kwargs,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Eigenvalues/eigenvectors of the Hamiltonian projected into the subspace.
+
+    Contract-parity with reference ``qubit.py:29-75``: the matrix is sorted /
+    deduplicated here, projected (on device), and handed to
+    ``scipy.sparse.linalg.eigsh`` with ``scipy_kwargs`` passed through.  For a
+    single lowest eigenpair fully on device, use :func:`solve_qubit_device`.
+    """
+    bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
+    ham_proj = project_operator_to_subspace(bitstring_matrix, hamiltonian, verbose=verbose)
+    if verbose:  # pragma: no cover
+        print("Diagonalizing Hamiltonian in the subspace...")
+    energies, eigenstates = eigsh(ham_proj, **scipy_kwargs)
+    return energies, eigenstates
+
+
+def solve_qubit_device(
+    bitstring_matrix: np.ndarray,
+    hamiltonian,
+    *,
+    tol: float = 1e-8,
+    max_subspace: int = 32,
+    max_iterations: int = 300,
+    dtype=None,
+) -> tuple[float, np.ndarray, ProjectedPauliOperator]:
+    """Ground state of the projected operator, fully on device (matrix-free).
+
+    Returns ``(energy, eigenvector, operator)``; the operator can be reused
+    for further matvecs/expectation values.
+    """
+    bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
+    packed = bitpack.pack_bool_matrix(bitstring_matrix)
+    op = build_projected_operator(packed, hamiltonian.paulis, hamiltonian.coeffs)
+    if dtype is None:
+        # real arithmetic suffices iff every term's coefficient*i^{#Y} is real
+        dtype = jnp.float64 if bool(np.all(np.abs(np.imag(np.asarray(op.coeff))) < 1e-300)) else jnp.complex128
+    import dataclasses
+
+    if not jnp.issubdtype(dtype, jnp.complexfloating):
+        op = dataclasses.replace(op, coeff=jnp.real(op.coeff).astype(dtype))
+    v0 = davidson_initial_guess(op.hdiag, dtype)
+    res = davidson_ground_state(
+        pauli_apply_flat,
+        op,
+        op.hdiag,
+        v0,
+        tol=tol,
+        max_subspace=max_subspace,
+        max_iterations=max_iterations,
+    )
+    return float(res.theta), np.asarray(res.vector), op

@@ -1,0 +1,139 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Qubit-path tests: Pauli projection + subspace eigensolves vs dense oracles."""
+
+import numpy as np
+import pytest
+from scipy.sparse import coo_matrix
+from scipy.sparse.linalg import eigsh
+
+from sqd_tpu import qubit
+from sqd_tpu.models.heisenberg import heisenberg_ring, transverse_field_ising
+from sqd_tpu.primitives import Pauli, SparsePauliOp
+
+
+def _subspace_projector(bitstring_matrix):
+    """Dense projector rows onto the 2^n space (oracle)."""
+    d, n = bitstring_matrix.shape
+    p = np.zeros((d, 2**n))
+    for i, row in enumerate(bitstring_matrix):
+        idx = int("".join("1" if b else "0" for b in row), 2)
+        p[i, idx] = 1.0
+    return p
+
+
+def test_sort_and_remove_duplicates():
+    mat = np.array([[1, 1], [0, 1], [1, 1], [1, 0]], dtype=bool)
+    out = qubit.sort_and_remove_duplicates(mat)
+    np.testing.assert_array_equal(out, [[0, 1], [1, 0], [1, 1]])
+
+
+@pytest.mark.parametrize("label", ["XZIY", "IIII", "YYYY", "ZXZX"])
+def test_matrix_elements_from_pauli_vs_dense(label):
+    rng = np.random.default_rng(0)
+    n = 4
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (10, n)).astype(bool))
+    pauli = Pauli.from_label(label)
+    amps, rows, cols = qubit.matrix_elements_from_pauli(mat, pauli)
+    d = len(mat)
+    a = coo_matrix((amps, (rows, cols)), (d, d)).toarray()
+    dense = SparsePauliOp([label]).to_matrix()
+    p = _subspace_projector(mat)
+    projected = p @ dense @ p.T
+    # reference convention: A[row, col] = amp(row bits); that equals either
+    # P H P^T or its transpose — both give the same Hermitian sum; check one.
+    ok_direct = np.allclose(a, projected, atol=1e-12)
+    ok_transpose = np.allclose(a, projected.T, atol=1e-12)
+    assert ok_direct or ok_transpose
+
+
+def test_project_operator_matches_dense():
+    rng = np.random.default_rng(1)
+    n = 5
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (14, n)).astype(bool))
+    op = heisenberg_ring(n, h_z=0.3)
+    proj = qubit.project_operator_to_subspace(mat, op).toarray()
+    dense = op.to_matrix()
+    p = _subspace_projector(mat)
+    expected = p @ dense @ p.T
+    assert np.allclose(proj, expected, atol=1e-10) or np.allclose(
+        proj, expected.T, atol=1e-10
+    )
+    # Hermitian either way
+    np.testing.assert_allclose(proj, proj.conj().T, atol=1e-12)
+
+
+def test_solve_qubit_full_space_exact():
+    """Projected onto the FULL space, energies must match dense eigenvalues."""
+    n = 4
+    op = heisenberg_ring(n)
+    all_bits = np.array(
+        [[bool(int(b)) for b in format(i, f"0{n}b")] for i in range(2**n)]
+    )
+    # pin ARPACK's start vector — its default random v0 makes k=3 flaky
+    energies, states = qubit.solve_qubit(
+        all_bits, op, k=3, which="SA", v0=np.ones(2**n), maxiter=5000
+    )
+    dense_vals = np.linalg.eigvalsh(op.to_matrix())
+    np.testing.assert_allclose(energies, dense_vals[:3], atol=1e-8)
+
+
+def test_solve_qubit_subspace_variational():
+    rng = np.random.default_rng(3)
+    n = 6
+    op = heisenberg_ring(n, h_z=0.2)
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (30, n)).astype(bool))
+    energies, _ = qubit.solve_qubit(mat, op, k=1, which="SA")
+    dense_vals = np.linalg.eigvalsh(op.to_matrix())
+    assert energies[0] >= dense_vals[0] - 1e-9
+
+
+def test_solve_qubit_device_matches_scipy():
+    rng = np.random.default_rng(4)
+    n = 6
+    op = heisenberg_ring(n, h_z=0.1)
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (40, n)).astype(bool))
+    e_scipy, _ = qubit.solve_qubit(mat, op, k=1, which="SA")
+    e_dev, vec, proj_op = qubit.solve_qubit_device(mat, op)
+    assert abs(e_dev - e_scipy[0]) < 1e-7
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-8
+
+
+def test_solve_qubit_device_complex_terms():
+    """Odd-Y terms make the projected matrix genuinely complex."""
+    rng = np.random.default_rng(5)
+    n = 4
+    op = SparsePauliOp.from_list([("XYII", 0.7), ("IIZY", 0.5), ("ZZZZ", 1.0)])
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (12, n)).astype(bool))
+    e_scipy, _ = qubit.solve_qubit(mat, op, k=1, which="SA")
+    e_dev, _, _ = qubit.solve_qubit_device(mat, op)
+    assert abs(e_dev - e_scipy[0]) < 1e-7
+
+
+def test_large_qubit_count_no_63_bit_limit():
+    """70 qubits: the packed path has no integer-width ceiling."""
+    rng = np.random.default_rng(6)
+    n = 70
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (20, n)).astype(bool))
+    # single ZZ...Z term: diagonal in the computational basis
+    label = "Z" * n
+    amps, rows, cols = qubit.matrix_elements_from_pauli(mat, Pauli.from_label(label))
+    np.testing.assert_array_equal(rows, cols)  # diagonal term
+    expected = np.array([(-1) ** row.sum() for row in mat])
+    np.testing.assert_allclose(amps.real, expected)
+    # an off-diagonal term connecting strings across word boundaries
+    label2 = "I" * 30 + "X" + "I" * 39
+    amps2, rows2, cols2 = qubit.matrix_elements_from_pauli(mat, Pauli.from_label(label2))
+    for r, c in zip(rows2, cols2):
+        diff = mat[r] ^ mat[c]
+        assert diff.sum() == 1 and diff[30] == True  # noqa: E712
+
+
+def test_tfim_device_ground_state():
+    n = 8
+    op = transverse_field_ising(n, j_zz=1.0, h_x=0.7)
+    all_bits = np.array(
+        [[bool(int(b)) for b in format(i, f"0{n}b")] for i in range(2**n)]
+    )
+    e_dev, _, _ = qubit.solve_qubit_device(all_bits, op, tol=1e-9)
+    dense_vals = np.linalg.eigvalsh(op.to_matrix())
+    assert abs(e_dev - dense_vals[0]) < 1e-7
