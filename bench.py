@@ -3,8 +3,8 @@
 
 Matches BASELINE.json's metric ("Davidson solve wall-clock at 10^6-det
 subspace").  The problem is a 16-orbital, (5,5)-electron selected-CI space
-with 1000 alpha x 1000 beta strings (dim = 10^6) over Hubbard-type integrals
-— the same shape class as the N2/6-31g config.  The solve runs the production
+with 1000 alpha x 1000 beta strings (dim = 10^6) over synthetic molecular-like
+integrals (the N2/6-31g problem class).  The solve runs the production
 path: f32 Davidson iterations + f64 Rayleigh refinement of the energy.
 
 ``vs_baseline``: the reference delegates this solve to PySCF's OpenMP
@@ -30,7 +30,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from sqd_tpu.models.hubbard import hubbard_integrals
+    
     from sqd_tpu.ops import bitpack
     from sqd_tpu.ops.davidson import davidson_ground_state, davidson_initial_guess
     from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian, sci_matvec_flat
@@ -38,13 +38,16 @@ def main():
     norb, nelec = 16, (5, 5)
     m = n = 1000
     rng = np.random.default_rng(0)
-    h1, eri = hubbard_integrals(norb, u=4.0)
-    # small random two-body noise so the spectrum is non-degenerate
-    noise = rng.normal(size=(norb,) * 4) * 0.02
-    noise = noise + noise.transpose(1, 0, 2, 3)
-    noise = noise + noise.transpose(0, 1, 3, 2)
-    noise = noise + noise.transpose(2, 3, 0, 1)
-    eri = eri + noise / 8
+    # Molecular-like synthetic integrals (the N2/6-31g problem class of
+    # BASELINE config 1): spread one-body spectrum + low-rank Cholesky-form
+    # two-body integrals (positive semidefinite, 8-fold symmetric).
+    orb_e = np.linspace(-12.0, 3.0, norb)
+    h1 = np.diag(orb_e) + 0.08 * rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    rank = 3 * norb
+    chol = rng.normal(size=(rank, norb, norb)) * (0.8 / np.sqrt(rank))
+    chol = (chol + chol.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", chol, chol)
 
     # SQD-realistic subspace: the Hartree-Fock determinant plus low-order
     # excitations (what sampled configurations cluster around), giving a
@@ -84,7 +87,7 @@ def main():
     def solve():
         v0 = davidson_initial_guess(hd32, jnp.float32)
         res = davidson_ground_state(
-            sci_matvec_flat, ham32, hd32, v0, tol=3e-4, max_subspace=32, max_iterations=200
+            sci_matvec_flat, ham32, hd32, v0, tol=1e-3, max_subspace=32, max_iterations=200
         )
         vec = res.vector.astype(jnp.float64)
         hv = sci_matvec_flat(ham64, vec)

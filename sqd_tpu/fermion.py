@@ -502,6 +502,8 @@ def diagonalize_fermionic_hamiltonian(
     callback: Callable[[list[SCIResult]], None] | None = None,
     seed: int | np.random.Generator | None = None,
     solver_options: dict | None = None,
+    checkpoint_path=None,
+    resume: bool = True,
 ) -> SCIResult:
     """Run sample-based quantum diagonalization (SQD) to convergence.
 
@@ -541,6 +543,11 @@ def diagonalize_fermionic_hamiltonian(
         seed: PRNG seed or generator.
         solver_options: extra kwargs passed to the default solver (ignored if
             ``sci_solver`` is provided).
+        checkpoint_path: if given, the full loop state (iteration counter,
+            RNG state, occupancies, carryover strings, best result) is saved
+            there after every iteration (see :mod:`sqd_tpu.utils.checkpoint`).
+        resume: when ``checkpoint_path`` exists and ``resume`` is true, the
+            loop continues bit-for-bit from the saved state.
 
     Returns:
         The best (lowest-energy) :class:`SCIResult` seen.
@@ -585,7 +592,7 @@ def diagonalize_fermionic_hamiltonian(
     rng = np.random.default_rng(seed)
     current_occupancies = initial_occupancies
     best_result: SCIResult | None = None
-    current_result: SCIResult | None = None
+    current_energy: float | None = None
     if sci_solver is None:
         opts = dict(solver_options or {})
         sci_solver = lambda cs, h1, h2, no, ne: solve_sci_batch(  # noqa: E731
@@ -595,10 +602,36 @@ def diagonalize_fermionic_hamiltonian(
     str_dtype = object if norb >= 63 else np.int64
     carryover_strings_a = np.array([], dtype=str_dtype)
     carryover_strings_b = np.array([], dtype=str_dtype)
+    start_iteration = 0
+
+    if checkpoint_path is not None and resume:
+        import os
+
+        from .utils.checkpoint import load_loop_state
+
+        if os.path.exists(checkpoint_path):
+            ckpt = load_loop_state(checkpoint_path)
+            start_iteration = ckpt.iteration + 1
+            rng.bit_generator.state = ckpt.rng_state
+            current_occupancies = ckpt.current_occupancies
+            carryover_strings_a = ckpt.carryover_strings_a
+            carryover_strings_b = ckpt.carryover_strings_b
+            current_energy = ckpt.current_energy
+            blob = ckpt.best_state_blob
+            state = SCIState(
+                amplitudes=blob["amplitudes"],
+                ci_strs_a=bitpack.unpack_to_ints(blob["strs_a_packed"], norb),
+                ci_strs_b=bitpack.unpack_to_ints(blob["strs_b_packed"], norb),
+                norb=norb,
+                nelec=tuple(int(x) for x in nelec),
+            )
+            best_result = SCIResult(
+                ckpt.best_energy, state, orbital_occupancies=ckpt.best_occupancies
+            )
 
     raw_bitstrings, raw_probs = bit_array_to_arrays(bit_array)
 
-    for _ in range(max_iterations):
+    for iteration in range(start_iteration, max_iterations):
         if current_occupancies is None:
             bitstrings, probs = postselect_by_hamming_right_and_left(
                 raw_bitstrings, raw_probs, hamming_right=n_alpha, hamming_left=n_beta
@@ -658,8 +691,8 @@ def diagonalize_fermionic_hamiltonian(
             best_result = best_result_in_batch
 
         if (
-            current_result is not None
-            and abs(current_result.energy - best_result_in_batch.energy) < energy_tol
+            current_energy is not None
+            and abs(current_energy - best_result_in_batch.energy) < energy_tol
             and np.linalg.norm(
                 np.ravel(current_occupancies)
                 - np.ravel(best_result_in_batch.orbital_occupancies),
@@ -669,6 +702,7 @@ def diagonalize_fermionic_hamiltonian(
         ):
             break
         current_result = best_result_in_batch
+        current_energy = current_result.energy
         current_occupancies = current_result.orbital_occupancies
 
         # carry over CI strings attached to large-amplitude configurations
@@ -695,6 +729,35 @@ def diagonalize_fermionic_hamiltonian(
         else:
             carryover_strings_a = carryover_strings_a[np.argsort(weights_a)[::-1]]
             carryover_strings_b = carryover_strings_b[np.argsort(weights_b)[::-1]]
+
+        if checkpoint_path is not None:
+            from .utils.checkpoint import LoopCheckpoint, save_loop_state
+
+            best_state = best_result.sci_state
+            blob = {
+                "amplitudes": np.asarray(best_state.amplitudes),
+                "strs_a_packed": bitpack.pack_ints(
+                    np.asarray(best_state.ci_strs_a), norb
+                ),
+                "strs_b_packed": bitpack.pack_ints(
+                    np.asarray(best_state.ci_strs_b), norb
+                ),
+            }
+            save_loop_state(
+                checkpoint_path,
+                LoopCheckpoint(
+                    iteration=iteration,
+                    rng_state=rng.bit_generator.state,
+                    current_occupancies=current_occupancies,
+                    carryover_strings_a=carryover_strings_a,
+                    carryover_strings_b=carryover_strings_b,
+                    best_energy=best_result.energy,
+                    best_state_blob=blob,
+                    best_occupancies=best_result.orbital_occupancies,
+                    current_energy=current_energy,
+                    norb=norb,
+                ),
+            )
 
     return cast(SCIResult, best_result)
 

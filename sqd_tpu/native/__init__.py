@@ -1,0 +1,125 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Native (C++) host kernels, built on first use and bound via ctypes.
+
+The device compute path is JAX/XLA/Pallas; this package owns the host-side
+bookkeeping the reference delegates to C extensions (SURVEY.md N1/N8).  The
+library compiles from :mod:`sqd_tpu/native/sqdcore.cpp` with the system g++
+on first import and is cached next to the source; every entry point has a
+pure-NumPy fallback, so the framework works (slower) without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["available", "desdes_unique", "popcount_rows"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "sqdcore.cpp")
+_LIB_PATH = os.path.join(_DIR, "libsqdcore.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.popcount_rows.argtypes = [u32p, ctypes.c_int64, ctypes.c_int, i64p]
+        lib.popcount_rows.restype = None
+        lib.desdes_unique.argtypes = [
+            u32p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            u32p,
+            u32p,
+        ]
+        lib.desdes_unique.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library is built and loadable."""
+    return _load() is not None
+
+
+def popcount_rows(packed: np.ndarray) -> np.ndarray:
+    """Per-row popcount (native, with NumPy fallback)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    lib = _load()
+    if lib is None:
+        return np.bitwise_count(packed).sum(axis=-1).astype(np.int64)
+    out = np.empty(packed.shape[0], dtype=np.int64)
+    lib.popcount_rows(packed, packed.shape[0], packed.shape[1], out)
+    return out
+
+
+def desdes_unique(strs_packed: np.ndarray, nelec: int) -> np.ndarray:
+    """Sorted unique two-hole intermediates ``{I - u - v}`` of a string set.
+
+    Native fused enumerate+sort+unique; NumPy/Python fallback mirrors
+    the original implementation in :mod:`sqd_tpu.ops.linktab`.
+    """
+    strs_packed = np.ascontiguousarray(strs_packed, dtype=np.uint32)
+    n, w = strs_packed.shape
+    if n == 0 or nelec < 2:
+        return np.zeros((0, w), dtype=np.uint32)
+    lib = _load()
+    if lib is None:
+        from ..ops import bitpack
+
+        bits = bitpack.bit_masks(w * 32)[: w * 32]
+        cands = []
+        counts = popcount_rows(strs_packed)
+        for row, cnt in zip(strs_packed, counts):
+            occ_idx = [
+                p for p in range(w * 32) if (row[p // 32] >> (p % 32)) & 1
+            ]
+            for a in range(len(occ_idx)):
+                for b in range(a + 1, len(occ_idx)):
+                    cands.append(row ^ bits[occ_idx[a]] ^ bits[occ_idx[b]])
+        return bitpack.unique_packed(np.array(cands, dtype=np.uint32))
+    pairs = nelec * (nelec - 1) // 2
+    scratch = np.empty((n * pairs, w), dtype=np.uint32)
+    out = np.empty((n * pairs, w), dtype=np.uint32)
+    n_out = lib.desdes_unique(strs_packed, n, w, nelec, scratch, out)
+    return out[:n_out].copy()

@@ -74,17 +74,28 @@ class _State(NamedTuple):
     done: jax.Array
 
 
-def _masked_eigh_min(t: jax.Array, m: jax.Array):
-    """Lowest eigenpair of the active m x m block of t (masked to mss)."""
+def _masked_eigh(t: jax.Array, m: jax.Array):
+    """Eigendecomposition of the active m x m block of t (masked to mss).
+
+    Inactive rows get a huge diagonal so their eigenpairs sort last; active
+    eigenvectors have exact zeros in inactive rows.
+    """
     mss = t.shape[0]
     idx = jnp.arange(mss)
     active = idx < m
     mask2 = active[:, None] & active[None, :]
-    big = jnp.asarray(jnp.finfo(t.dtype).max / 4, t.dtype)
+    # The inactive diagonal only needs to dominate the active spectrum; a
+    # huge constant (finfo.max-scale) overflows when squared inside eigh,
+    # especially in f32 — scale off the actual Gram magnitude instead.
+    big = (jnp.max(jnp.abs(t)) + 1.0) * 1e4
     t_masked = jnp.where(mask2, t, 0.0) + jnp.diag(jnp.where(active, 0.0, big))
     vals, vecs = jnp.linalg.eigh(t_masked)
-    y = vecs[:, 0] * active  # inactive rows are exactly zero in eigvec 0
-    return vals[0], y
+    return vals, vecs * active[:, None]
+
+
+def _masked_eigh_min(t: jax.Array, m: jax.Array):
+    vals, vecs = _masked_eigh(t, m)
+    return vals[0], vecs[:, 0]
 
 
 @partial(jax.jit, static_argnames=("matvec", "max_subspace", "max_iterations"))
@@ -118,6 +129,12 @@ def davidson_ground_state(
     dt = v0.dtype
     mss = max_subspace
     eps = float(jnp.finfo(dt).tiny) ** 0.5  # real scalar also for complex dt
+
+    # TPU f32 matmuls default to fast bf16 MXU passes (~1e-3 relative error)
+    # — fatal for Gram-Schmidt and the Rayleigh-Ritz Gram matrix. Force true
+    # f32 accumulation throughout the solver.
+    prec_ctx = jax.default_matmul_precision("highest")
+    prec_ctx.__enter__()
 
     v0 = v0 / jnp.linalg.norm(v0)
     w0 = matvec(operator, v0)
@@ -156,47 +173,70 @@ def davidson_ground_state(
     def body(s: _State) -> _State:
         # residual of current best Ritz pair, preconditioned -> new direction
         r = s.hu - s.theta * s.u
-        t_new, nrm = orthonormalize(precondition(r, s.theta), s.v, s.m)
+        pre = precondition(r, s.theta)
+        pre_norm = jnp.linalg.norm(pre)
+        t_new, nrm = orthonormalize(pre, s.v, s.m)
+        # If the preconditioned residual is (numerically) inside the current
+        # subspace, this dtype's precision floor is reached: normalizing the
+        # leftover noise would inject a garbage direction and blow up the
+        # iteration — stop cleanly instead.
+        dep_eps = 64 * jnp.finfo(jnp.finfo(dt).dtype).eps
+        stalled = nrm <= dep_eps * jnp.maximum(pre_norm, eps)
 
-        # thick restart when the buffer is full: keep the Ritz vector.
-        def do_restart(s: _State) -> _State:
-            v = jnp.zeros_like(s.v).at[0].set(s.u)
-            w = jnp.zeros_like(s.w).at[0].set(s.hu)
-            t = jnp.zeros_like(s.t).at[0, 0].set(s.theta)
-            return s._replace(v=v, w=w, t=t, m=jnp.asarray(1))
+        def stalled_exit(s: _State) -> _State:
+            return s._replace(it=s.it + 1, done=jnp.asarray(True))
 
-        s = jax.lax.cond(s.m >= mss, do_restart, lambda x: x, s)
-        # re-orthonormalize against (possibly restarted) basis
-        t_new, _ = orthonormalize(t_new, s.v, s.m)
+        def expand(s: _State) -> _State:
+            # thick restart when the buffer is full: keep the best few Ritz
+            # vectors (a single-vector restart loses the subspace and stalls
+            # on spectra with degenerate diagonals).
+            keep = max(1, min(mss // 3, 8))
 
-        w_new = matvec(operator, t_new)
-        v = s.v.at[s.m].set(t_new)
-        w = s.w.at[s.m].set(w_new)
-        col = (v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
-        t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
-        m = s.m + 1
+            def do_restart(s: _State) -> _State:
+                vals, vecs = _masked_eigh(s.t, s.m)
+                y = vecs[:, :keep]  # (mss, keep), inactive rows zero
+                v = jnp.zeros_like(s.v).at[:keep].set(y.T @ s.v)
+                w = jnp.zeros_like(s.w).at[:keep].set(y.T @ s.w)
+                t = jnp.zeros_like(s.t).at[jnp.arange(keep), jnp.arange(keep)].set(
+                    vals[:keep].astype(s.t.dtype)
+                )
+                return s._replace(v=v, w=w, t=t, m=jnp.asarray(keep))
 
-        theta, y = _masked_eigh_min(t, m)
-        u = y @ v
-        hu = y @ w
-        rnorm = jnp.linalg.norm(hu - theta * u)
-        return _State(
-            v=v,
-            w=w,
-            t=t,
-            m=m,
-            theta=theta,
-            u=u,
-            hu=hu,
-            rnorm=rnorm,
-            it=s.it + 1,
-            done=rnorm < tol,
-        )
+            s = jax.lax.cond(s.m >= mss, do_restart, lambda x: x, s)
+            # re-orthonormalize against (possibly restarted) basis
+            t_ortho, _ = orthonormalize(t_new, s.v, s.m)
+
+            w_new = matvec(operator, t_ortho)
+            v = s.v.at[s.m].set(t_ortho)
+            w = s.w.at[s.m].set(w_new)
+            col = (v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
+            t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
+            m = s.m + 1
+
+            theta, y = _masked_eigh_min(t, m)
+            u = y @ v
+            hu = y @ w
+            rnorm = jnp.linalg.norm(hu - theta * u)
+            return _State(
+                v=v,
+                w=w,
+                t=t,
+                m=m,
+                theta=theta,
+                u=u,
+                hu=hu,
+                rnorm=rnorm,
+                it=s.it + 1,
+                done=rnorm < tol,
+            )
+
+        return jax.lax.cond(stalled, stalled_exit, expand, s)
 
     def cond(s: _State):
         return (~s.done) & (s.it < max_iterations)
 
     final = jax.lax.while_loop(cond, body, state)
+    prec_ctx.__exit__(None, None, None)
     u = final.u / jnp.linalg.norm(final.u)
     return DavidsonResult(
         theta=final.theta,

@@ -350,6 +350,10 @@ class SCIHamiltonian:
         return self._matvec_full(c)
 
     def _matvec_full(self, c: jax.Array) -> jax.Array:
+        with jax.default_matmul_precision("highest"):
+            return self.__matvec_full(c)
+
+    def __matvec_full(self, c: jax.Array) -> jax.Array:
         dt = c.dtype
         m, n = c.shape
         npair = self.norb * self.norb
@@ -375,6 +379,10 @@ class SCIHamiltonian:
         gathers (which cross column blocks) plus the same-spin neighbor lists
         per output block.
         """
+        with jax.default_matmul_precision("highest"):
+            return self.__matvec_blocked(c)
+
+    def __matvec_blocked(self, c: jax.Array) -> jax.Array:
         dt = c.dtype
         m, n = c.shape
         npair = self.norb * self.norb

@@ -129,16 +129,11 @@ def build_desdes_tables(strs_packed: np.ndarray, norb: int, nelec_spin: int):
         sign = np.zeros((norb * norb, 0), dtype=np.int8)
         return inter, jnp.asarray(src), jnp.asarray(sign)
 
-    # Host-side enumeration of the reachable two-hole set (once per solve).
-    bits = bitpack.bit_masks(norb)
-    occ = np.asarray(occupancy_matrix(jnp.asarray(strs_packed), norb))
-    cands = []
-    for row, o in zip(strs_packed, occ):
-        occ_idx = np.flatnonzero(o)
-        for a in range(len(occ_idx)):
-            for b in range(a + 1, len(occ_idx)):
-                cands.append(row ^ bits[occ_idx[a]] ^ bits[occ_idx[b]])
-    inter = bitpack.unique_packed(np.array(cands, dtype=np.uint32))
+    # Host-side enumeration of the reachable two-hole set (once per solve) —
+    # native C++ fused enumerate+sort+unique, with NumPy fallback inside.
+    from .. import native
+
+    inter = native.desdes_unique(strs_packed, nelec_spin)
 
     # Device-side gather tables over the intermediate set.
     consts = pair_index_arrays(norb)

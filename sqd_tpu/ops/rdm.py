@@ -58,8 +58,9 @@ def _dm1s(ham: SCIHamiltonian, c: jax.Array):
     """
     norb = ham.norb
     m, n = c.shape
-    gram_rows = jnp.matmul(c, c.T, preferred_element_type=c.dtype)
-    gram_cols = jnp.matmul(c.T, c, preferred_element_type=c.dtype)
+    prec = jax.lax.Precision.HIGHEST
+    gram_rows = jnp.matmul(c, c.T, preferred_element_type=c.dtype, precision=prec)
+    gram_cols = jnp.matmul(c.T, c, preferred_element_type=c.dtype, precision=prec)
     row_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
     col_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
     picked_a = gram_rows.reshape(-1)[ham.src_a * m + row_ids]
@@ -79,7 +80,9 @@ def _samespin_dm2_from_holes(src, sign, c_rows):
     f = sign.astype(dt)[:, :, None] * c_rows[src]  # (npair, K, X); clamped tables
     npair = f.shape[0]
     f_flat = f.reshape(npair, -1)
-    return jnp.matmul(f_flat, f_flat.T, preferred_element_type=dt)
+    return jnp.matmul(
+        f_flat, f_flat.T, preferred_element_type=dt, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def make_rdms(
@@ -112,7 +115,9 @@ def make_rdms(
     d_a = ham.gather_alpha(c).reshape(npair, -1)
     d_b = ham.gather_beta(c).reshape(npair, -1)
     perm = jnp.asarray(_qp_perm(norb))
-    pab = jnp.matmul(d_a[perm], d_b.T, preferred_element_type=c.dtype)
+    pab = jnp.matmul(
+        d_a[perm], d_b.T, preferred_element_type=c.dtype, precision=jax.lax.Precision.HIGHEST
+    )
     dm2ab = pab.reshape(norb, norb, norb, norb)
 
     n_a, n_b = ham.nelec
