@@ -87,7 +87,7 @@ def main():
     def solve():
         v0 = davidson_initial_guess(hd32, jnp.float32)
         res = davidson_ground_state(
-            sci_matvec_flat, ham32, hd32, v0, tol=1e-3, max_subspace=32, max_iterations=200
+            sci_matvec_flat, ham32, hd32, v0, tol=1e-3, max_subspace=24, max_iterations=200
         )
         vec = res.vector.astype(jnp.float64)
         hv = sci_matvec_flat(ham64, vec)

@@ -17,7 +17,13 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "desdes_unique", "popcount_rows"]
+__all__ = [
+    "available",
+    "desdes_unique",
+    "popcount_rows",
+    "gather_tables",
+    "samespin_tables",
+]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "sqdcore.cpp")
@@ -73,6 +79,31 @@ def _load():
             u32p,
         ]
         lib.desdes_unique.restype = ctypes.c_int64
+        i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+        lib.gather_tables.argtypes = [
+            u32p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            i32p,
+            i8p,
+        ]
+        lib.gather_tables.restype = None
+        lib.samespin_candidates.argtypes = [
+            u32p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            f64p,
+            f64p,
+            i32p,
+            f64p,
+            ctypes.c_int64,
+        ]
+        lib.samespin_candidates.restype = None
         _lib = lib
         return _lib
 
@@ -123,3 +154,61 @@ def desdes_unique(strs_packed: np.ndarray, nelec: int) -> np.ndarray:
     out = np.empty((n * pairs, w), dtype=np.uint32)
     n_out = lib.desdes_unique(strs_packed, n, w, nelec, scratch, out)
     return out[:n_out].copy()
+
+
+def gather_tables(strs_packed: np.ndarray, norb: int):
+    """(src, sign) single-excitation gather tables (native; None if unavailable)."""
+    lib = _load()
+    if lib is None:
+        return None
+    strs_packed = np.ascontiguousarray(strs_packed, dtype=np.uint32)
+    n, w = strs_packed.shape
+    src = np.empty((norb * norb, n), dtype=np.int32)
+    sign = np.empty((norb * norb, n), dtype=np.int8)
+    lib.gather_tables(strs_packed, n, w, norb, src, sign)
+    return src, sign
+
+
+def samespin_tables(strs_packed, h1e, eri, norb: int, nelec: int, *, bucket: int = 8):
+    """Compacted Slater-Condon neighbor lists (native; None if unavailable).
+
+    Returns (idx, val) with the same layout/semantics as
+    :func:`sqd_tpu.ops.hamiltonian.build_samespin_tables`.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    strs_packed = np.ascontiguousarray(strs_packed, dtype=np.uint32)
+    n, w = strs_packed.shape
+    nv = norb - nelec
+    n_singles = nelec * nv
+    n_doubles = (nelec * (nelec - 1) // 2) * (nv * (nv - 1) // 2)
+    width_full = 1 + n_singles + n_doubles
+    idx = np.empty((n, width_full), dtype=np.int32)
+    val = np.empty((n, width_full), dtype=np.float64)
+    lib.samespin_candidates(
+        strs_packed,
+        n,
+        w,
+        norb,
+        nelec,
+        np.ascontiguousarray(h1e, np.float64),
+        np.ascontiguousarray(eri, np.float64),
+        idx,
+        val,
+        width_full,
+    )
+    # compact: entries with val == 0 contribute nothing -> push to the back
+    valid = val != 0.0
+    order = np.argsort(~valid, axis=1, kind="stable")
+    idx = np.take_along_axis(idx, order, axis=1)
+    val = np.take_along_axis(val, order, axis=1)
+    max_count = int(valid.sum(axis=1).max()) if n else 0
+    width = min(width_full, max(bucket, -(-max_count // bucket) * bucket))
+    idx = idx[:, :width].copy()
+    val = val[:, :width].copy()
+    # zero out anything past each row's valid prefix (stale values)
+    keep = np.take_along_axis(valid, order, axis=1)[:, :width]
+    idx[~keep] = 0
+    val[~keep] = 0.0
+    return idx, val

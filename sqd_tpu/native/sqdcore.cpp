@@ -95,3 +95,171 @@ int64_t desdes_unique(const uint32_t* strs, int64_t n, int w, int nelec,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Excitation gather tables + Slater-Condon neighbor lists (host build path).
+// Mirrors sqd_tpu.ops.linktab / ops.hamiltonian semantics exactly; the device
+// kernels remain the reference implementation, this path just avoids XLA
+// compile/executions for the one-time per-solve table builds.
+// ---------------------------------------------------------------------------
+
+static inline int popcount_below(const uint32_t* s, int w, int t) {
+    // popcount of bits [0, t) of a packed row
+    int full = t >> 5, rem = t & 31, acc = 0;
+    for (int j = 0; j < full; ++j) acc += __builtin_popcount(s[j]);
+    if (rem && full < w) acc += __builtin_popcount(s[full] & ((1u << rem) - 1u));
+    return acc;
+}
+
+static inline bool get_bit(const uint32_t* s, int t) {
+    return (s[t >> 5] >> (t & 31)) & 1u;
+}
+
+static inline void flip_bit(uint32_t* s, int t) { s[t >> 5] ^= 1u << (t & 31); }
+
+static int64_t bsearch_row(const uint32_t* strs, int64_t n, int w, const uint32_t* key) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (row_less(strs + mid * w, key, w)) lo = mid + 1;
+        else hi = mid;
+    }
+    if (lo < n && std::memcmp(strs + lo * w, key, w * sizeof(uint32_t)) == 0) return lo;
+    return -1;
+}
+
+extern "C" {
+
+// Per-(p,q) single-excitation gather tables: src[pq*n + J] = index of
+// I = J - p + q (clamped to 0 with sign 0 when absent/invalid);
+// sign = <J|a+_p a_q|I> parity.
+void gather_tables(const uint32_t* strs, int64_t n, int w, int norb,
+                   int32_t* out_src, int8_t* out_sign) {
+    std::vector<uint32_t> buf(w);
+    for (int p = 0; p < norb; ++p) {
+        for (int q = 0; q < norb; ++q) {
+            int64_t base = (int64_t)(p * norb + q) * n;
+            for (int64_t j = 0; j < n; ++j) {
+                const uint32_t* J = strs + j * w;
+                if (p == q) {
+                    bool occ = get_bit(J, p);
+                    out_src[base + j] = occ ? (int32_t)j : 0;
+                    out_sign[base + j] = occ ? 1 : 0;
+                    continue;
+                }
+                if (!get_bit(J, p) || get_bit(J, q)) {
+                    out_src[base + j] = 0;
+                    out_sign[base + j] = 0;
+                    continue;
+                }
+                std::memcpy(buf.data(), J, w * sizeof(uint32_t));
+                flip_bit(buf.data(), p);
+                flip_bit(buf.data(), q);  // I = J - p + q
+                int64_t idx = bsearch_row(strs, n, w, buf.data());
+                if (idx < 0) {
+                    out_src[base + j] = 0;
+                    out_sign[base + j] = 0;
+                    continue;
+                }
+                // sign on I: remove q (parity below q in I), add p (parity
+                // below p in I - q == popcount_below(I, p) - [q < p])
+                int s1 = popcount_below(buf.data(), w, q);
+                int s2 = popcount_below(buf.data(), w, p) - (q < p ? 1 : 0);
+                out_src[base + j] = (int32_t)idx;
+                out_sign[base + j] = ((s1 + s2) & 1) ? -1 : 1;
+            }
+        }
+    }
+}
+
+// Slater-Condon same-spin neighbor candidates, laid out exactly like the
+// device kernel: per row [diagonal, singles (occ x virt), doubles
+// (occ-pairs x virt-pairs)]; invalid entries are (idx=0, val=0).
+// eri is chemist (pq|rs), row-major norb^4; h1 is norb^2.
+void samespin_candidates(const uint32_t* strs, int64_t n, int w, int norb,
+                         int nelec, const double* h1, const double* eri,
+                         int32_t* out_idx, double* out_val, int64_t cand_width) {
+    const int nv = norb - nelec;
+    const int64_t n4 = (int64_t)norb * norb * norb, n2 = (int64_t)norb * norb;
+    auto E = [&](int a, int b, int c, int d) -> double {
+        return eri[(int64_t)a * n4 + (int64_t)b * n2 + (int64_t)c * norb + d];
+    };
+    std::vector<int> occ(nelec), virt(nv);
+    std::vector<uint32_t> buf(w);
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* J = strs + i * w;
+        int oc = 0, vc = 0;
+        for (int t = 0; t < norb; ++t) {
+            if (get_bit(J, t)) occ[oc++] = t; else virt[vc++] = t;
+        }
+        int32_t* idx_row = out_idx + i * cand_width;
+        double* val_row = out_val + i * cand_width;
+        int64_t c = 0;
+        // diagonal: h_pp + 1/2 sum_{p,q in J} [(pp|qq) - (pq|qp)]
+        double diag = 0.0;
+        for (int a = 0; a < oc; ++a) {
+            int p = occ[a];
+            diag += h1[p * norb + p];
+            for (int b = 0; b < oc; ++b) {
+                int q = occ[b];
+                diag += 0.5 * (E(p, p, q, q) - E(p, q, q, p));
+            }
+        }
+        idx_row[c] = (int32_t)i;
+        val_row[c] = diag;
+        ++c;
+        // singles: I = J - p + q, val = sign * (h_pq + sum_{k in I\q} [(pq|kk)-(pk|kq)])
+        for (int a = 0; a < oc; ++a) {
+            for (int k = 0; k < vc; ++k, ++c) {
+                int p = occ[a], q = virt[k];
+                std::memcpy(buf.data(), J, w * sizeof(uint32_t));
+                flip_bit(buf.data(), p);
+                flip_bit(buf.data(), q);
+                int64_t idx = bsearch_row(strs, n, w, buf.data());
+                if (idx < 0) { idx_row[c] = 0; val_row[c] = 0.0; continue; }
+                double mf = h1[p * norb + q];
+                for (int b = 0; b < oc; ++b) {
+                    int kk = occ[b];
+                    if (kk == p) continue;  // k runs over I\{q} = (J\{p}) u {q}\{q}
+                    mf += E(p, q, kk, kk) - E(p, kk, kk, q);
+                }
+                int s1 = popcount_below(buf.data(), w, q);
+                int s2 = popcount_below(buf.data(), w, p) - (q < p ? 1 : 0);
+                idx_row[c] = (int32_t)idx;
+                val_row[c] = (((s1 + s2) & 1) ? -1.0 : 1.0) * mf;
+            }
+        }
+        // doubles: I = J - p - r + q + s
+        for (int a = 0; a < oc; ++a) {
+            for (int b = a + 1; b < oc; ++b) {
+                for (int k = 0; k < vc; ++k) {
+                    for (int l = k + 1; l < vc; ++l, ++c) {
+                        int p = occ[a], r = occ[b], q = virt[k], s = virt[l];
+                        std::memcpy(buf.data(), J, w * sizeof(uint32_t));
+                        flip_bit(buf.data(), p);
+                        flip_bit(buf.data(), r);
+                        flip_bit(buf.data(), q);
+                        flip_bit(buf.data(), s);
+                        int64_t idx = bsearch_row(strs, n, w, buf.data());
+                        if (idx < 0) { idx_row[c] = 0; val_row[c] = 0.0; continue; }
+                        // g = sign of a+_p a+_r a_s a_q on I (sequential)
+                        int par = popcount_below(buf.data(), w, q);
+                        flip_bit(buf.data(), q);
+                        par += popcount_below(buf.data(), w, s);
+                        flip_bit(buf.data(), s);
+                        par += popcount_below(buf.data(), w, r);
+                        flip_bit(buf.data(), r);
+                        par += popcount_below(buf.data(), w, p);
+                        double g = (par & 1) ? -1.0 : 1.0;
+                        val_row[c] = 0.5 * g * (E(p, q, r, s) + E(r, s, p, q)
+                                                - E(p, s, r, q) - E(r, q, p, s));
+                        idx_row[c] = (int32_t)idx;
+                    }
+                }
+            }
+        }
+        for (; c < cand_width; ++c) { idx_row[c] = 0; val_row[c] = 0.0; }
+    }
+}
+
+}  // extern "C"

@@ -27,6 +27,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -87,10 +89,70 @@ def _masked_eigh(t: jax.Array, m: jax.Array):
     # The inactive diagonal only needs to dominate the active spectrum; a
     # huge constant (finfo.max-scale) overflows when squared inside eigh,
     # especially in f32 — scale off the actual Gram magnitude instead.
-    big = (jnp.max(jnp.abs(t)) + 1.0) * 1e4
+    big = (jnp.max(jnp.abs(t)) + 1.0) * 4.0
     t_masked = jnp.where(mask2, t, 0.0) + jnp.diag(jnp.where(active, 0.0, big))
-    vals, vecs = jnp.linalg.eigh(t_masked)
-    return vals, vecs * active[:, None]
+    # The Gram matrix is tiny (mss x mss) but its eigensolve must be accurate
+    # in 64-bit: TPU's f32 eigh (QDWH spectral divide-and-conquer) carries
+    # ~eps*|A| error that the sentinel scale turns into O(1) garbage in the
+    # active block.  On CPU we use LAPACK; on TPU, where the emulated-f64
+    # lax.eigh takes minutes to compile (and the axon runtime forbids host
+    # callbacks), we run a hand-rolled cyclic-Jacobi sweep in f64 elementwise
+    # arithmetic — small, accurate, and compile-cheap.
+    if jnp.iscomplexobj(t):
+        vals, vecs = jnp.linalg.eigh(t_masked.astype(jnp.complex128))
+    elif jax.default_backend() == "cpu":
+        vals, vecs = jnp.linalg.eigh(t_masked.astype(jnp.float64))
+    else:
+        vals, vecs = _jacobi_eigh(t_masked.astype(jnp.float64))
+    vals = vals.astype(jnp.finfo(t.dtype).dtype)
+    vecs = (vecs * active[:, None]).astype(t.dtype)
+    return vals, vecs
+
+
+def _jacobi_eigh(a: jax.Array, sweeps: int = 14):
+    """Cyclic-Jacobi symmetric eigendecomposition (ascending), f64 elementwise.
+
+    For tiny matrices only (the Davidson Gram matrix).  Quadratic convergence
+    makes ~10-14 sweeps plenty for 16-64 dims at f64 accuracy.
+    """
+    n = a.shape[0]
+    pairs = np.array([(p, q) for p in range(n) for q in range(p + 1, n)], dtype=np.int32)
+    pairs = jnp.asarray(np.tile(pairs, (sweeps, 1)))
+
+    def rotate(carry, pq):
+        mat, rot = carry
+        p, q = pq[0], pq[1]
+        app = mat[p, p]
+        aqq = mat[q, q]
+        apq = mat[p, q]
+        # Rutishauser tangent formula using only div/sqrt (TPU's f64
+        # transcendentals are f32-grade, and denormal-flushed 0/0 must be
+        # avoided — hence the relative skip guard applied BEFORE division).
+        skip = jnp.abs(apq) <= 1e-14 * (jnp.abs(app) + jnp.abs(aqq) + 1.0)
+        safe_apq = jnp.where(skip, 1.0, apq)
+        tau = (aqq - app) / (2.0 * safe_apq)
+        tt = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        tt = jnp.where(tau == 0.0, 1.0, tt)  # sign(0) = 0 would zero a valid rotation
+        tt = jnp.where(skip, 0.0, tt)
+        c = 1.0 / jnp.sqrt(1.0 + tt * tt)
+        s = tt * c
+        row_p = mat[p, :]
+        row_q = mat[q, :]
+        new_p = c * row_p - s * row_q
+        new_q = s * row_p + c * row_q
+        mat = mat.at[p, :].set(new_p).at[q, :].set(new_q)
+        col_p = mat[:, p]
+        col_q = mat[:, q]
+        mat = mat.at[:, p].set(c * col_p - s * col_q).at[:, q].set(s * col_p + c * col_q)
+        vec_p = rot[:, p]
+        vec_q = rot[:, q]
+        rot = rot.at[:, p].set(c * vec_p - s * vec_q).at[:, q].set(s * vec_p + c * vec_q)
+        return (mat, rot), None
+
+    (mat, rot), _ = jax.lax.scan(rotate, (a, jnp.eye(n, dtype=a.dtype)), pairs)
+    vals = jnp.diagonal(mat)
+    order = jnp.argsort(vals)
+    return vals[order], rot[:, order]
 
 
 def _masked_eigh_min(t: jax.Array, m: jax.Array):
@@ -157,8 +219,18 @@ def davidson_ground_state(
     )
 
     def precondition(r, theta):
+        # Clamp scaled to the spectrum: the argmin-hdiag determinant sits at
+        # |hdiag - theta| ~ 0, and an absolute micro-clamp would turn it into
+        # a spike nearly parallel to the current Ritz vector — wasted (and in
+        # f32, Gram-Schmidt-annihilated) amplification.  Capping at ~1e-3 of
+        # the scale keeps the preconditioner a contraction toward other
+        # determinants.
+        clamp = 1e-3 * (1.0 + jnp.abs(theta))
         denom = hdiag - theta
-        denom = jnp.where(jnp.abs(denom) < 1e-4, jnp.sign(denom) * 1e-4 + 1e-12, denom)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        denom = jnp.where(
+            jnp.abs(denom) < clamp, jnp.where(safe < 0, -clamp, clamp), denom
+        )
         return r / denom
 
     def orthonormalize(t_vec, v, m):
@@ -175,13 +247,17 @@ def davidson_ground_state(
         r = s.hu - s.theta * s.u
         pre = precondition(r, s.theta)
         pre_norm = jnp.linalg.norm(pre)
-        t_new, nrm = orthonormalize(pre, s.v, s.m)
-        # If the preconditioned residual is (numerically) inside the current
-        # subspace, this dtype's precision floor is reached: normalizing the
-        # leftover noise would inject a garbage direction and blow up the
-        # iteration — stop cleanly instead.
+        t_pre, nrm_pre = orthonormalize(pre, s.v, s.m)
+        # The clamped preconditioner can produce a spike that lies (almost)
+        # inside the current subspace; after Gram-Schmidt the leftover is then
+        # relatively tiny yet either meaningful or pure noise.  Fall back to
+        # the raw residual direction in that case, and only stop (precision
+        # floor) when that collapses too.
         dep_eps = 64 * jnp.finfo(jnp.finfo(dt).dtype).eps
-        stalled = nrm <= dep_eps * jnp.maximum(pre_norm, eps)
+        pre_dead = nrm_pre <= dep_eps * jnp.maximum(pre_norm, eps)
+        t_raw, nrm_raw = orthonormalize(r, s.v, s.m)
+        t_new = jnp.where(pre_dead, t_raw, t_pre)
+        stalled = pre_dead & (nrm_raw <= dep_eps * jnp.maximum(s.rnorm, eps))
 
         def stalled_exit(s: _State) -> _State:
             return s._replace(it=s.it + 1, done=jnp.asarray(True))

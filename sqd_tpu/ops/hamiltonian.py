@@ -499,6 +499,7 @@ def build_sci_hamiltonian(
     dtype=jnp.float64,
     pad_to: tuple[int, int] | None = None,
     col_block: int | str = "auto",
+    tables_backend: str = "auto",
 ) -> SCIHamiltonian:
     """Assemble the device-resident projected Hamiltonian.
 
@@ -520,10 +521,38 @@ def build_sci_hamiltonian(
     h1e_d = jnp.asarray(h1e, dtype)
     eri_d = jnp.asarray(eri, dtype)
 
-    src_a, sign_a = linktab.build_gather_tables(strs_a, norb)
-    src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
-    nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
-    nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
+    # Table build: the native C++ host path avoids a per-shape XLA compile
+    # (minutes on a tunneled TPU) and is faster in absolute terms; the device
+    # path remains as reference/fallback and is exercised by tests directly.
+    use_native = False
+    if tables_backend == "auto":
+        from .. import native
+
+        use_native = native.available()
+    elif tables_backend == "native":
+        from .. import native
+
+        if not native.available():
+            raise RuntimeError("native tables requested but libsqdcore is unavailable")
+        use_native = True
+    if use_native:
+        from .. import native
+
+        src_a_h, sign_a_h = native.gather_tables(strs_a_packed, norb)
+        src_b_h, sign_b_h = native.gather_tables(strs_b_packed, norb)
+        src_a, sign_a = jnp.asarray(src_a_h), jnp.asarray(sign_a_h)
+        src_b, sign_b = jnp.asarray(src_b_h), jnp.asarray(sign_b_h)
+        h1_np = np.asarray(h1e, np.float64)
+        eri_np = np.asarray(eri, np.float64)
+        ia, va = native.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
+        ib, vb = native.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
+        nbr_idx_a, nbr_val_a = jnp.asarray(ia), jnp.asarray(va, dtype)
+        nbr_idx_b, nbr_val_b = jnp.asarray(ib), jnp.asarray(vb, dtype)
+    else:
+        src_a, sign_a = linktab.build_gather_tables(strs_a, norb)
+        src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
+        nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
+        nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
     occ_a = linktab.occupancy_matrix(strs_a, norb)
     occ_b = linktab.occupancy_matrix(strs_b, norb)
     hd = _hdiag(occ_a, occ_b, h1e_d, eri_d, dtype)

@@ -2,4 +2,5 @@
 """Mesh sharding of independent batch diagonalizations (ICI data parallelism)."""
 
 from .batch_solver import solve_sci_batch_sharded  # noqa: F401
+from .sharded_solve import solve_sci_distributed  # noqa: F401
 from .mesh import batch_sharding, default_mesh  # noqa: F401

@@ -1,0 +1,217 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""One large Davidson solve sharded across the device mesh.
+
+The reference's only intra-solve parallelism is OpenMP threading inside
+PySCF's C kernels (SURVEY.md §2.3 "tensor parallel analog"); its cluster
+answer is an external MPI program.  Here a *single* selected-CI solve scales
+over the mesh natively: the ``norb^2`` excitation-pair axis of the cross-spin
+channel is sharded, each device gathers and contracts its pair block, and the
+ERI contraction moves between pair shards as a blockwise ``psum`` ring
+(volume = one G tensor per matvec, riding ICI).  Amplitude vectors stay
+replicated (they are small compared to the per-pair intermediates), so the
+Davidson driver itself runs unmodified inside ``shard_map``.
+
+Memory per device drops from ``npair * M * N`` to ``npair/n_dev * M * N``,
+which is what lifts the 1e7-determinant configs ([4Fe-4S], BASELINE config 5)
+onto a v5e-8 slice.
+
+Limitations (v1): no fused spin penalty in the sharded matvec.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import bitpack, rdm as rdm_ops
+from ..ops.davidson import davidson_ground_state, davidson_initial_guess
+from ..ops.hamiltonian import build_sci_hamiltonian
+from .mesh import default_mesh
+
+__all__ = ["solve_sci_distributed"]
+
+_AXIS = "pair"
+
+
+def _sharded_matvec(op, x):
+    """Cross-spin + same-spin application with the pair axis sharded.
+
+    ``op`` is a dict of *local* shards (leading pair axis already split by
+    shard_map); ``x`` is the replicated flat vector.
+    """
+    ndev = jax.lax.axis_size(_AXIS)
+    my = jax.lax.axis_index(_AXIS)
+    m = op["nbr_idx_a"].shape[0]
+    n = op["nbr_idx_b"].shape[0]
+    npair_loc = op["src_a"].shape[0]
+    dt = x.dtype
+    c = x.reshape(m, n)
+
+    with jax.default_matmul_precision("highest"):
+        # local alpha gathers: D_loc[pq, :, :] for my pair block
+        d_loc = op["sign_a"].astype(dt)[:, :, None] * c[op["src_a"]]
+        d_flat = d_loc.reshape(npair_loc, m * n)
+
+        # blockwise-psum contraction: G'[rs] = sum_pq (pq|rs) D[pq].
+        # Device d owns G' rows [d*P, (d+1)*P); in round d every device
+        # contributes eri_t[rows(d), cols(my)] @ D_loc and the psum lands the
+        # full row block on everyone — device d keeps it.
+        eri_t = op["eri_t"].astype(dt)  # full (npair, npair), replicated
+        g_loc = jnp.zeros_like(d_flat)
+        col0 = (my * npair_loc).astype(jnp.int32)
+        for d in range(ndev):
+            eri_blk = jax.lax.dynamic_slice(
+                eri_t, (jnp.int32(d * npair_loc), col0), (npair_loc, npair_loc)
+            )
+            partial_g = jnp.matmul(eri_blk, d_flat, preferred_element_type=dt)
+            summed = jax.lax.psum(partial_g, _AXIS)
+            g_loc = jnp.where(my == d, summed, g_loc)
+
+        # local beta scatter of my G' rows, then global sum
+        g3 = g_loc.reshape(npair_loc, m, n)
+        picked = jnp.take_along_axis(g3, op["src_b"][:, None, :].astype(jnp.int32), axis=2)
+        sigma = jnp.sum(op["sign_b"].astype(dt)[:, None, :] * picked, axis=0)
+        sigma = jax.lax.psum(sigma, _AXIS)
+
+        # same-spin neighbor lists (replicated, cheap)
+        picked_a = c[op["nbr_idx_a"]]
+        sigma = sigma + jnp.einsum("jl,jln->jn", op["nbr_val_a"].astype(dt), picked_a)
+        picked_b = jnp.take(c, op["nbr_idx_b"], axis=1)
+        sigma = sigma + jnp.einsum("kl,mkl->mk", op["nbr_val_b"].astype(dt), picked_b)
+    return sigma.reshape(-1)
+
+
+def _solve_inside(op32, op64, hdiag, tol, max_subspace, max_cycle):
+    v0 = davidson_initial_guess(hdiag, hdiag.dtype)
+    res = davidson_ground_state(
+        _sharded_matvec,
+        op32,
+        hdiag,
+        v0,
+        tol=tol,
+        max_subspace=max_subspace,
+        max_iterations=max_cycle,
+    )
+    vec = res.vector.astype(jnp.float64)
+    vec = vec / jnp.linalg.norm(vec)
+    hv = _sharded_matvec(op64, vec)
+    energy = jnp.vdot(vec, hv)
+    return energy, vec, res.iterations, res.converged, res.residual_norm
+
+
+def solve_sci_distributed(
+    ci_strings,
+    one_body_tensor,
+    two_body_tensor,
+    norb: int,
+    nelec,
+    *,
+    mesh=None,
+    solver_dtype=jnp.float32,
+    tol: float = 1e-4,
+    max_subspace: int = 32,
+    max_cycle: int = 200,
+    with_rdms: bool = False,
+):
+    """Diagonalize ONE subspace with the pair axis sharded over the mesh.
+
+    Same contract as :func:`sqd_tpu.fermion.solve_sci` (minus the spin
+    penalty); intended for subspaces too large for a single chip.
+    """
+    from ..fermion import SCIResult, SCIState, _check_ci_strs
+
+    if mesh is None:
+        mesh = default_mesh(_AXIS)
+    ndev = mesh.devices.size
+    strs_a, strs_b = _check_ci_strs(ci_strings)
+    pa = bitpack.pack_ints(np.asarray(strs_a, dtype=object if norb >= 63 else np.int64), norb)
+    pb = bitpack.pack_ints(np.asarray(strs_b, dtype=object if norb >= 63 else np.int64), norb)
+    npair = norb * norb
+    if npair % ndev:
+        raise ValueError(f"norb^2 = {npair} must divide evenly over {ndev} devices.")
+
+    ham64 = build_sci_hamiltonian(
+        pa, pb, one_body_tensor, two_body_tensor, norb, nelec,
+        dtype=jnp.float64, col_block=0,
+    )
+    m, n = ham64.shape
+
+    def op_dict(ham, dtype):
+        return {
+            "src_a": ham.src_a,
+            "sign_a": ham.sign_a,
+            "src_b": ham.src_b,
+            "sign_b": ham.sign_b,
+            "nbr_idx_a": ham.nbr_idx_a,
+            "nbr_val_a": ham.nbr_val_a.astype(dtype),
+            "nbr_idx_b": ham.nbr_idx_b,
+            "nbr_val_b": ham.nbr_val_b.astype(dtype),
+            "eri_t": ham.eri_t.astype(dtype),
+        }
+
+    specs = {
+        "src_a": P(_AXIS),
+        "sign_a": P(_AXIS),
+        "src_b": P(_AXIS),
+        "sign_b": P(_AXIS),
+        "nbr_idx_a": P(),
+        "nbr_val_a": P(),
+        "nbr_idx_b": P(),
+        "nbr_val_b": P(),
+        "eri_t": P(),
+    }
+
+    op32 = op_dict(ham64, solver_dtype)
+    op64 = op_dict(ham64, jnp.float64)
+    hdiag = ham64.hdiag.reshape(-1).astype(solver_dtype)
+
+    def place(op):
+        return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
+
+    op32 = place(op32)
+    op64 = place(op64)
+    hdiag = jax.device_put(hdiag, NamedSharding(mesh, P()))
+
+    in_specs = ({k: specs[k] for k in specs}, {k: specs[k] for k in specs}, P())
+    solve = jax.jit(
+        jax.shard_map(
+            partial(
+                _solve_inside,
+                tol=tol,
+                max_subspace=max_subspace,
+                max_cycle=max_cycle,
+            ),
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    energy, vec, iters, converged, rnorm = solve(op32, op64, hdiag)
+    energy = float(energy)
+    amplitudes = np.asarray(vec).reshape(m, n)
+
+    state = SCIState(
+        amplitudes=amplitudes,
+        ci_strs_a=strs_a,
+        ci_strs_b=strs_b,
+        norb=norb,
+        nelec=tuple(int(x) for x in nelec),
+    )
+    rdms = rdm_ops.make_rdms(
+        ham64, jnp.asarray(amplitudes, jnp.float64), pa, pb, with_dm2=with_rdms
+    )
+    occ = (
+        np.diagonal(np.asarray(rdms["dm1a"])).copy(),
+        np.diagonal(np.asarray(rdms["dm1b"])).copy(),
+    )
+    rdm1 = rdm2 = None
+    if with_rdms:
+        rdm1 = np.asarray(rdms["dm1a"] + rdms["dm1b"])
+        rdm2 = np.asarray(rdms["dm2"])
+    return SCIResult(energy, state, orbital_occupancies=occ, rdm1=rdm1, rdm2=rdm2)

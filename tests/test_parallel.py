@@ -72,6 +72,34 @@ def test_sharded_batch_count_not_multiple_of_devices(system):
         assert abs(p.energy - e_exact) < 1e-6
 
 
+def test_distributed_single_solve_matches_local(system):
+    """Pair-axis-sharded large-solve path == single-device solve."""
+    from sqd_tpu.parallel.sharded_solve import solve_sci_distributed
+
+    h1, eri, norb = system
+    # need norb^2 divisible by 8 devices -> use norb=8 integrals
+    rng = np.random.default_rng(5)
+    norb8 = 8
+    h1b = rng.normal(size=(norb8, norb8))
+    h1b = (h1b + h1b.T) / 2
+    erib = rng.normal(size=(norb8,) * 4) * 0.2
+    erib = erib + erib.transpose(1, 0, 2, 3)
+    erib = erib + erib.transpose(0, 1, 3, 2)
+    erib = erib + erib.transpose(2, 3, 0, 1)
+    erib /= 8
+    all_s = dense_fci.all_hamming_strings(norb8, 3)
+    sel_a = np.sort(rng.choice(all_s, 24, replace=False))
+    sel_b = np.sort(rng.choice(all_s, 20, replace=False))
+    res_d = solve_sci_distributed(
+        (sel_a, sel_b), h1b, erib, norb8, (3, 3), tol=1e-6, solver_dtype=np.float64
+    )
+    res_s = fermion.solve_sci((sel_a, sel_b), h1b, erib, norb=norb8, nelec=(3, 3))
+    assert abs(res_d.energy - res_s.energy) < 1e-9
+    np.testing.assert_allclose(
+        np.ravel(res_d.orbital_occupancies), np.ravel(res_s.orbital_occupancies), atol=1e-6
+    )
+
+
 def test_orchestrator_with_sharded_solver(system):
     """The sci_solver seam accepts the sharded implementation end-to-end."""
     from sqd_tpu.primitives import BitArray
