@@ -100,6 +100,41 @@ def main():
     energy, iters, rnorm = solve()
     elapsed = time.perf_counter() - t0
 
+    # --- secondary metric: Pauli projection (reference headline) -----------
+    # Reference: one Z^40 term over d = 5e7 sorted unique bitstrings takes
+    # ~4.17 s on its CPU host (docs/guides/benchmark_pauli_projection.ipynb).
+    # Guarded so a failure/timeout here never loses the main metric line.
+    pauli_detail = None
+    try:
+        from sqd_tpu.ops.pauli_proj import connected_table_rank, pauli_masks_to_packed
+        from sqd_tpu.primitives import Pauli
+
+        nq, d_proj = 40, 50_000_000
+        rng2 = np.random.default_rng(3)
+        ints = np.unique(rng2.integers(0, 1 << nq, size=d_proj, dtype=np.int64))
+        packed = np.zeros((len(ints), 2), dtype=np.uint32)
+        packed[:, 0] = ints & 0xFFFFFFFF
+        packed[:, 1] = ints >> 32
+        packed_d = jnp.asarray(packed)
+        pz = Pauli.from_label("Z" * nq)
+        zw, xw = pauli_masks_to_packed(pz.z, pz.x)
+        zw_d, xw_d = jnp.asarray(zw), jnp.asarray(xw)
+        col, sign = connected_table_rank(packed_d, zw_d, xw_d)  # warm-up/compile
+        _ = int(jnp.sum(sign.astype(jnp.int32)))
+        t0 = time.perf_counter()
+        col, sign = connected_table_rank(packed_d, zw_d, xw_d)
+        checksum = int(jnp.sum(sign.astype(jnp.int32)))
+        t_pauli = time.perf_counter() - t0
+        pauli_detail = {
+            "dim": int(len(ints)),
+            "seconds": round(t_pauli, 4),
+            "reference_cpu_seconds": 4.17,
+            "speedup_vs_reference": round(4.17 / t_pauli, 1),
+            "checksum": checksum,
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        pauli_detail = {"error": str(exc)[:200]}
+
     out = {
         "metric": "davidson_solve_1e6_dets_wallclock",
         "value": round(elapsed, 4),
@@ -114,6 +149,11 @@ def main():
             "table_build_seconds": round(t_build, 3),
             "baseline_assumption": f"{CPU_BASELINE_SECONDS}s on 64-core CPU (see docstring)",
             "device": str(jax.devices()[0]),
+            "note": (
+                "table_build includes tunneled-TPU session/sync latency; the "
+                "native host table computation itself is <1s"
+            ),
+            "pauli_projection_40q": pauli_detail,
         },
     }
     print(json.dumps(out))

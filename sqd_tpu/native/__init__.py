@@ -104,6 +104,8 @@ def _load():
             ctypes.c_int64,
         ]
         lib.samespin_candidates.restype = None
+        lib.connected_membership64.argtypes = [u32p, ctypes.c_int64, u32p, i64p]
+        lib.connected_membership64.restype = None
         _lib = lib
         return _lib
 
@@ -154,6 +156,28 @@ def desdes_unique(strs_packed: np.ndarray, nelec: int) -> np.ndarray:
     out = np.empty((n * pairs, w), dtype=np.uint32)
     n_out = lib.desdes_unique(strs_packed, n, w, nelec, scratch, out)
     return out[:n_out].copy()
+
+
+def connected_membership(sorted_packed: np.ndarray, x_words: np.ndarray):
+    """Index of ``row XOR x`` within the sorted set (or -1), radix-merge based.
+
+    Supports packed widths w <= 2 (<= 64 qubits); returns None when the native
+    library is unavailable or the width is larger (callers fall back).
+    """
+    lib = _load()
+    sorted_packed = np.ascontiguousarray(sorted_packed, dtype=np.uint32)
+    n, w = sorted_packed.shape
+    if lib is None or w > 2:
+        return None
+    if w == 1:
+        sorted_packed = np.concatenate(
+            [sorted_packed, np.zeros((n, 1), np.uint32)], axis=1
+        )
+        x_words = np.concatenate([np.asarray(x_words, np.uint32), [np.uint32(0)]])
+    x_arr = np.ascontiguousarray(np.asarray(x_words, np.uint32)[:2])
+    out = np.empty(n, dtype=np.int64)
+    lib.connected_membership64(np.ascontiguousarray(sorted_packed), n, x_arr, out)
+    return out
 
 
 def gather_tables(strs_packed: np.ndarray, norb: int):

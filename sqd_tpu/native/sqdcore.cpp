@@ -94,6 +94,50 @@ int64_t desdes_unique(const uint32_t* strs, int64_t n, int w, int nelec,
     return sort_unique_rows(scratch, total, w, out);
 }
 
+// Membership of (strs[i] XOR xmask) in the sorted set, for packed widths
+// w <= 2 via radix sort + linear merge (cache-friendly; random-access binary
+// search is latency-bound both here and on TPU HBM).  out[i] = index of the
+// connected string, or -1.
+void connected_membership64(const uint32_t* strs, int64_t n, const uint32_t* xmask,
+                            int64_t* out) {
+    const uint64_t x = (uint64_t)xmask[0] | ((uint64_t)xmask[1] << 32);
+    std::vector<uint64_t> keys(n), tmp(n);
+    std::vector<int64_t> order(n), order_tmp(n);
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t s = (uint64_t)strs[i * 2] | ((uint64_t)strs[i * 2 + 1] << 32);
+        keys[i] = s ^ x;
+        order[i] = i;
+    }
+    // LSD radix sort, 8 passes of 8 bits
+    std::vector<int64_t> count(257);
+    for (int pass = 0; pass < 8; ++pass) {
+        int shift = pass * 8;
+        std::fill(count.begin(), count.end(), 0);
+        for (int64_t i = 0; i < n; ++i) ++count[((keys[i] >> shift) & 0xFF) + 1];
+        for (int b = 0; b < 256; ++b) count[b + 1] += count[b];
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t pos = count[(keys[i] >> shift) & 0xFF]++;
+            tmp[pos] = keys[i];
+            order_tmp[pos] = order[i];
+        }
+        keys.swap(tmp);
+        order.swap(order_tmp);
+    }
+    // linear merge against the (already sorted) string set
+    int64_t j = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t key = keys[i];
+        while (j < n) {
+            uint64_t s = (uint64_t)strs[j * 2] | ((uint64_t)strs[j * 2 + 1] << 32);
+            if (s < key) ++j;
+            else break;
+        }
+        uint64_t s = j < n ? ((uint64_t)strs[j * 2] | ((uint64_t)strs[j * 2 + 1] << 32))
+                           : ~(uint64_t)0;
+        out[order[i]] = (j < n && s == key) ? j : -1;
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -57,6 +57,42 @@ def connected_table(sorted_packed, z_words, x_words):
     return jnp.where(ok, col, d).astype(jnp.int32), jnp.where(ok, sign, 0).astype(jnp.int8)
 
 
+@jax.jit
+def connected_table_rank(sorted_packed, z_words, x_words):
+    """Sort-rank variant of :func:`connected_table` for very large subspaces.
+
+    Binary search costs ~log2(d) rounds of random 8-byte HBM gathers — hostile
+    to the TPU memory system at d ~ 5e7.  Instead: sort the concatenation of
+    (table, queries) with a tie-break flag placing table entries first, take a
+    cumulative count of table entries, and verify each query against its
+    immediate table predecessor — one device sort + one gather total.
+    """
+    n, w = sorted_packed.shape
+    conn = sorted_packed ^ x_words[None, :]
+    combined = jnp.concatenate([sorted_packed, conn], axis=0)
+    flags = jnp.concatenate(
+        [jnp.zeros(n, jnp.uint32), jnp.ones(n, jnp.uint32)]
+    )
+    payload = jnp.tile(jnp.arange(n, dtype=jnp.int32), 2)
+    keys = [combined[:, j] for j in range(w - 1, -1, -1)] + [flags]
+    out = jax.lax.sort(keys + [payload], num_keys=w + 1)
+    flags_s = out[w]
+    payload_s = out[w + 1]
+    cum_table = jnp.cumsum(1 - flags_s) - 1  # index of last table entry <= here
+    cum_table = jnp.maximum(cum_table, 0).astype(jnp.int32)
+    sorted_words = jnp.stack([out[w - 1 - j] for j in range(w)], axis=1)
+    pred = sorted_packed[cum_table]  # (2n, W) gather of the candidate match
+    match = jnp.all(pred == sorted_words, axis=1) & (flags_s == 1)
+    col_sorted = jnp.where(match, cum_table, n).astype(jnp.int32)
+    # scatter back to query order; table rows aim out-of-bounds and drop
+    col = jnp.full(n, n, jnp.int32).at[
+        jnp.where(flags_s == 1, payload_s, n)
+    ].set(col_sorted, mode="drop")
+    sign = 1 - 2 * (bitpack.jnp_popcount_rows(sorted_packed & z_words[None, :]) % 2)
+    sign = jnp.where(col < n, sign, 0).astype(jnp.int8)
+    return col, sign
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class ProjectedPauliOperator:
@@ -112,9 +148,10 @@ def build_projected_operator(sorted_packed: np.ndarray, paulis, coeffs) -> Proje
     sp = jnp.asarray(sorted_packed)
     d = sp.shape[0]
     perms, signs, cs = [], [], []
+    table_fn = connected_table_rank if d >= 1_000_000 else connected_table
     for pauli, c in zip(paulis, np.asarray(coeffs)):
         zw, xw = pauli_masks_to_packed(pauli.z, pauli.x)
-        col, sign = connected_table(sp, jnp.asarray(zw), jnp.asarray(xw))
+        col, sign = table_fn(sp, jnp.asarray(zw), jnp.asarray(xw))
         n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
         perms.append(col)
         signs.append(sign)

@@ -70,13 +70,30 @@ def matrix_elements_from_pauli(
         pauli: a :class:`sqd_tpu.primitives.Pauli` (or any object with boolean
             ``z``/``x`` arrays in qubit order, e.g. a Qiskit ``Pauli``).
     """
-    packed = jnp.asarray(bitpack.pack_bool_matrix(bitstring_matrix))
+    packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
     zw, xw = pauli_masks_to_packed(np.asarray(pauli.z), np.asarray(pauli.x))
-    col, sign = connected_table(packed, jnp.asarray(zw), jnp.asarray(xw))
-    col = np.asarray(col)
-    sign = np.asarray(sign)
-    d = len(col)
-    keep = col < d
+    d = len(packed_h)
+
+    from . import native
+
+    # host radix-merge wins at small/medium d (no device sync); the device
+    # sort-rank kernel wins at large d (the host here may be few-core)
+    col = native.connected_membership(packed_h, xw) if d <= 2_000_000 else None
+    if col is not None:
+        # host path: radix-merge membership (cache-friendly; the reference's
+        # CPU np.isin(kind="sort") analog but ~4x faster) + numpy popcount sign
+        keep = col >= 0
+        zcount = np.bitwise_count(packed_h & zw[None, : packed_h.shape[1]]).sum(axis=1)
+        sign = 1 - 2 * (zcount.astype(np.int64) & 1)
+    else:
+        from .ops.pauli_proj import connected_table_rank
+
+        table_fn = connected_table_rank if d >= 1_000_000 else connected_table
+        packed = jnp.asarray(packed_h)
+        col_d, sign_d = table_fn(packed, jnp.asarray(zw), jnp.asarray(xw))
+        col = np.asarray(col_d).astype(np.int64)
+        sign = np.asarray(sign_d)
+        keep = col < d
     n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
     amplitudes = (1j**n_y) * sign[keep].astype(np.complex128)
     rows = np.arange(d)[keep]
