@@ -293,6 +293,7 @@ def solve_sci(
     max_subspace: int = 24,
     max_cycle: int = 200,
     pad_bucket: int = 32,
+    refine_iterations: int = 0,
     **kwargs,
 ) -> SCIResult:
     """Diagonalize the Hamiltonian in the subspace spanned by the CI strings.
@@ -317,6 +318,10 @@ def solve_sci(
         max_subspace / max_cycle: Krylov buffer rows / matvec budget.
         pad_bucket: if > 0, round each spin dimension up to this multiple so
             XLA reuses compiled programs across iterations.
+        refine_iterations: extra f64 Davidson iterations warm-started from the
+            working-dtype solution — drives the residual (and hence the
+            second-order energy error) below the f32 floor when the solve ran
+            in f32; irrelevant when ``solver_dtype`` is already f64.
         **kwargs: ignored extras for signature compatibility.
 
     Returns:
@@ -364,7 +369,19 @@ def solve_sci(
         max_subspace=max_subspace,
         max_iterations=max_cycle,
     )
-    vec_pad = result.vector.reshape(mp, np_).astype(jnp.float64)
+    vec_flat = result.vector.astype(jnp.float64)
+    if refine_iterations > 0 and solver_dtype != jnp.float64:
+        result64 = davidson_ground_state(
+            sci_matvec_flat,
+            ham64,
+            ham64.hdiag.reshape(-1),
+            vec_flat,
+            tol=tol,
+            max_subspace=max_subspace,
+            max_iterations=refine_iterations,
+        )
+        vec_flat = result64.vector
+    vec_pad = vec_flat.reshape(mp, np_)
     vec_pad = vec_pad / jnp.linalg.norm(vec_pad)
 
     # f64 RDMs -> occupancies + energy (reference policy, fermion.py:517-524).

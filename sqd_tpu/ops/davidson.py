@@ -109,47 +109,60 @@ def _masked_eigh(t: jax.Array, m: jax.Array):
     return vals, vecs
 
 
-def _jacobi_eigh(a: jax.Array, sweeps: int = 14):
-    """Cyclic-Jacobi symmetric eigendecomposition (ascending), f64 elementwise.
+def _round_robin_schedule(n: int) -> np.ndarray:
+    """Tournament pairing: (n-1) rounds of n//2 disjoint pairs covering all pairs."""
+    assert n % 2 == 0
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append(
+            [(players[i], players[n - 1 - i]) for i in range(n // 2)]
+        )
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return np.array(rounds, dtype=np.int32)  # (n-1, n//2, 2)
 
-    For tiny matrices only (the Davidson Gram matrix).  Quadratic convergence
-    makes ~10-14 sweeps plenty for 16-64 dims at f64 accuracy.
+
+def _jacobi_eigh(a: jax.Array, sweeps: int = 10):
+    """Parallel-ordered Jacobi symmetric eigendecomposition (ascending), f64.
+
+    For tiny matrices only (the Davidson Gram matrix).  Each scan step
+    applies n/2 disjoint rotations at once as one small orthogonal similarity
+    (a pair of n x n matmuls), so the sequential depth is ``sweeps * (n-1)``
+    instead of ``sweeps * n(n-1)/2`` — an order of magnitude fewer dispatches
+    inside the TPU while-loop.  Uses only div/sqrt (TPU f64 transcendentals
+    are f32-grade) with a relative guard against denormal-flushed 0/0.
     """
     n = a.shape[0]
-    pairs = np.array([(p, q) for p in range(n) for q in range(p + 1, n)], dtype=np.int32)
-    pairs = jnp.asarray(np.tile(pairs, (sweeps, 1)))
+    if n % 2:  # pad to even with a huge decoupled diagonal entry
+        pad = (jnp.max(jnp.abs(a)) + 1.0) * 8.0
+        a = jnp.pad(a, ((0, 1), (0, 1))).at[n, n].set(pad)
+        vals, vecs = _jacobi_eigh(a, sweeps)
+        return vals[:n], vecs[:n, :n]
+    schedule = jnp.asarray(np.tile(_round_robin_schedule(n), (sweeps, 1, 1)))
 
-    def rotate(carry, pq):
+    def step(carry, pairs):
         mat, rot = carry
-        p, q = pq[0], pq[1]
+        p = pairs[:, 0]
+        q = pairs[:, 1]
         app = mat[p, p]
         aqq = mat[q, q]
         apq = mat[p, q]
-        # Rutishauser tangent formula using only div/sqrt (TPU's f64
-        # transcendentals are f32-grade, and denormal-flushed 0/0 must be
-        # avoided — hence the relative skip guard applied BEFORE division).
         skip = jnp.abs(apq) <= 1e-14 * (jnp.abs(app) + jnp.abs(aqq) + 1.0)
         safe_apq = jnp.where(skip, 1.0, apq)
         tau = (aqq - app) / (2.0 * safe_apq)
         tt = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        tt = jnp.where(tau == 0.0, 1.0, tt)  # sign(0) = 0 would zero a valid rotation
+        tt = jnp.where(tau == 0.0, 1.0, tt)
         tt = jnp.where(skip, 0.0, tt)
         c = 1.0 / jnp.sqrt(1.0 + tt * tt)
         s = tt * c
-        row_p = mat[p, :]
-        row_q = mat[q, :]
-        new_p = c * row_p - s * row_q
-        new_q = s * row_p + c * row_q
-        mat = mat.at[p, :].set(new_p).at[q, :].set(new_q)
-        col_p = mat[:, p]
-        col_q = mat[:, q]
-        mat = mat.at[:, p].set(c * col_p - s * col_q).at[:, q].set(s * col_p + c * col_q)
-        vec_p = rot[:, p]
-        vec_q = rot[:, q]
-        rot = rot.at[:, p].set(c * vec_p - s * vec_q).at[:, q].set(s * vec_p + c * vec_q)
+        # one orthogonal similarity applying all disjoint rotations at once
+        g = jnp.zeros_like(mat)
+        g = g.at[p, p].set(c).at[q, q].set(c).at[p, q].set(-s).at[q, p].set(s)
+        mat = g @ mat @ g.T
+        rot = rot @ g.T
         return (mat, rot), None
 
-    (mat, rot), _ = jax.lax.scan(rotate, (a, jnp.eye(n, dtype=a.dtype)), pairs)
+    (mat, rot), _ = jax.lax.scan(step, (a, jnp.eye(n, dtype=a.dtype)), schedule)
     vals = jnp.diagonal(mat)
     order = jnp.argsort(vals)
     return vals[order], rot[:, order]

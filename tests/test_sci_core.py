@@ -215,6 +215,27 @@ def test_davidson_f32_plus_f64_rayleigh():
     assert abs(rq - evals[0]) < 5e-8
 
 
+def test_f32_solve_with_f64_refinement_hits_1e8():
+    """BASELINE accuracy target: f32 iterations + f64 refinement < 1e-8 Ha."""
+    from sqd_tpu import fermion
+
+    norb, nelec = 6, (3, 3)
+    h1, eri = random_integrals(norb, seed=13)
+    strs_a, strs_b = subspace(norb, 3, 3, 18, 16, seed=14)
+    h_dense = dense_fci.build_dense_hamiltonian(strs_a, strs_b, h1, eri)
+    e_exact = np.linalg.eigh(h_dense)[0][0]
+    res32 = fermion.solve_sci(
+        (strs_a, strs_b), h1, eri, norb=norb, nelec=nelec,
+        solver_dtype=jnp.float32, tol=1e-4,
+    )
+    res_ref = fermion.solve_sci(
+        (strs_a, strs_b), h1, eri, norb=norb, nelec=nelec,
+        solver_dtype=jnp.float32, tol=1e-4, refine_iterations=10,
+    )
+    assert abs(res_ref.energy - e_exact) < 1e-8
+    assert abs(res_ref.energy - e_exact) <= abs(res32.energy - e_exact) + 1e-12
+
+
 def test_rdms_vs_oracle():
     ham, h_dense, (strs_a, strs_b, h1, eri) = build_pair(4, 2, 2, 5, 5, seed=8)
     evals, evecs = np.linalg.eigh(h_dense)
