@@ -31,12 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from .configuration_recovery import recover_configurations
-from .counts import bitstring_matrix_to_integers
+from .counts import bit_array_to_arrays, bitstring_matrix_to_integers
 from .ops import bitpack, rdm as rdm_ops
 from .ops.davidson import davidson_ground_state, davidson_initial_guess
 from .ops.hamiltonian import SCIHamiltonian, build_sci_hamiltonian, sci_matvec_flat
 from .ops.linktab import build_gather_tables
-from .counts import bit_array_to_arrays
 from .subsampling import postselect_by_hamming_right_and_left, subsample
 
 __all__ = [
