@@ -111,7 +111,8 @@ def main():
 
         nq, d_proj = 40, 50_000_000
         rng2 = np.random.default_rng(3)
-        ints = np.unique(rng2.integers(0, 1 << nq, size=d_proj, dtype=np.int64))
+        ints = np.sort(rng2.integers(0, 1 << nq, size=d_proj, dtype=np.int64))
+        ints = ints[np.concatenate(([True], ints[1:] != ints[:-1]))]  # fast unique
         packed = np.zeros((len(ints), 2), dtype=np.uint32)
         packed[:, 0] = ints & 0xFFFFFFFF
         packed[:, 1] = ints >> 32

@@ -261,3 +261,33 @@ def test_enlarge_batch_from_transitions():
     assert len(out) == 2
     # '-' on an occupied mode flips it off
     assert (False, False, True, False) in tuples
+
+
+def test_orchestrator_beyond_63_orbitals():
+    """Full loop at 33 orbitals (66-bit strings): multiword packing end-to-end."""
+    from sqd_tpu.models.hubbard import hubbard_integrals
+
+    norb, nelec = 33, (2, 2)
+    h1, eri = hubbard_integrals(norb, u=2.0)
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(400):
+        row = np.zeros(2 * norb, dtype=bool)
+        row[rng.choice(8, 2, replace=False)] = True  # beta in first 8 orbitals
+        row[norb + rng.choice(8, 2, replace=False)] = True
+        rows.append(row)
+    ba = BitArray.from_bool_array(np.array(rows))
+    result = fermion.diagonalize_fermionic_hamiltonian(
+        h1,
+        eri,
+        ba,
+        samples_per_batch=15,
+        norb=norb,
+        nelec=nelec,
+        max_iterations=2,
+        seed=3,
+    )
+    assert np.isfinite(result.energy)
+    assert result.sci_state.amplitudes.shape[0] == len(result.sci_state.ci_strs_a)
+    occ_a, occ_b = result.orbital_occupancies
+    assert np.isclose(occ_a.sum(), nelec[0], atol=1e-6)
