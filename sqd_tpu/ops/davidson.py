@@ -268,6 +268,9 @@ def davidson_ground_state(
         # floor) when that collapses too.
         dep_eps = 64 * jnp.finfo(jnp.finfo(dt).dtype).eps
         pre_dead = nrm_pre <= dep_eps * jnp.maximum(pre_norm, eps)
+        # NOTE: computed unconditionally — wrapping this in lax.cond makes the
+        # whole while-loop ~10x slower on TPU (cond boundaries force the big
+        # carried state through HBM); two extra GEMM rounds are cheaper.
         t_raw, nrm_raw = orthonormalize(r, s.v, s.m)
         t_new = jnp.where(pre_dead, t_raw, t_pre)
         stalled = pre_dead & (nrm_raw <= dep_eps * jnp.maximum(s.rnorm, eps))
