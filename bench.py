@@ -21,6 +21,7 @@ import time
 import numpy as np
 
 CPU_BASELINE_SECONDS = 60.0
+_T_START = time.perf_counter()
 
 
 def main():
@@ -136,6 +137,52 @@ def main():
     except Exception as exc:  # pragma: no cover - defensive
         pauli_detail = {"error": str(exc)[:200]}
 
+    # --- stretch metric: 1e7 determinants on ONE chip -----------------------
+    # The reference's stated capability envelope is ~1e7 dims on a 10-30 core
+    # node (README.md:78).  The beta-first blocked matvec needs no full-size
+    # intermediate, so the same solve fits a single v5e chip.
+    stretch_detail = None
+    try:
+        if time.perf_counter() - _T_START < 420:
+            m7 = n7 = 3163  # dim ~ 1.0e7
+            strs_a7 = excitation_strings(m7, 5)
+            strs_b7 = excitation_strings(n7, 6)
+            pa7 = bitpack.pack_ints(strs_a7, norb)
+            pb7 = bitpack.pack_ints(strs_b7, norb)
+            ham64_7 = build_sci_hamiltonian(pa7, pb7, h1, eri, norb, nelec, dtype=jnp.float64)
+            ham32_7 = ham64_7.astype(jnp.float32)
+            hd7 = ham32_7.hdiag.reshape(-1)
+
+            def solve7():
+                v0 = davidson_initial_guess(hd7, jnp.float32)
+                res = davidson_ground_state(
+                    sci_matvec_flat, ham32_7, hd7, v0,
+                    tol=1e-3, max_subspace=24, max_iterations=200,
+                )
+                vec = res.vector.astype(jnp.float64)
+                hv = sci_matvec_flat(ham64_7, vec)
+                return (
+                    float(jnp.vdot(vec, hv) / jnp.vdot(vec, vec)),
+                    int(res.iterations),
+                    float(res.residual_norm),
+                )
+
+            e7, it7, rn7 = solve7()  # warm-up/compile
+            t0 = time.perf_counter()
+            e7, it7, rn7 = solve7()
+            t7 = time.perf_counter() - t0
+            stretch_detail = {
+                "dim": m7 * n7,
+                "seconds": round(t7, 4),
+                "iterations": it7,
+                "residual_norm": rn7,
+                "energy": e7,
+            }
+        else:
+            stretch_detail = {"skipped": "time budget"}
+    except Exception as exc:  # pragma: no cover - defensive
+        stretch_detail = {"error": str(exc)[:200]}
+
     out = {
         "metric": "davidson_solve_1e6_dets_wallclock",
         "value": round(elapsed, 4),
@@ -155,6 +202,7 @@ def main():
                 "native host table computation itself is <1s"
             ),
             "pauli_projection_40q": pauli_detail,
+            "davidson_1e7_dets_single_chip": stretch_detail,
         },
     }
     print(json.dumps(out))

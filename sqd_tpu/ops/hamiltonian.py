@@ -370,17 +370,87 @@ class SCIHamiltonian:
         return sigma
 
     def _matvec_blocked(self, c: jax.Array) -> jax.Array:
-        """Two-pass, beta-column-blocked application with bounded HBM temps.
+        """Column-blocked application; strategy chosen by the G-buffer size.
 
-        Pass 1 builds ``G'[rs] = sum_pq (pq|rs) E^a_pq c`` one column block at
-        a time into an output-major ``(M, N, npair)`` HBM buffer — keeping the
-        large dimension as matmul *output rows* so XLA tiles instead of
-        K-splitting into full-size accumulators.  Pass 2 applies the beta
-        gathers (which cross column blocks) plus the same-spin neighbor lists
-        per output block.
+        The alpha-first two-pass variant keeps a full ``(M, N, npair)`` G
+        buffer in HBM but all its gathers move contiguous rows — measured
+        ~46 ms/matvec at 1e6 determinants.  The beta-first single-pass
+        variant needs no full-size intermediate (unlocking 1e7 determinants
+        on one chip) but its column gathers run at element granularity and
+        are ~10x slower — so it is used only when the G buffer would not fit.
         """
+        m, n = c.shape
+        g_bytes = self.norb * self.norb * m * n * c.dtype.itemsize
         with jax.default_matmul_precision("highest"):
-            return self.__matvec_blocked(c)
+            if g_bytes <= 4 * 1024**3:
+                return self.__matvec_blocked(c)
+            return self.__matvec_blocked_beta_first(c)
+
+    def __matvec_blocked_beta_first(self, c: jax.Array) -> jax.Array:
+        dt = c.dtype
+        m, n = c.shape
+        npair = self.norb * self.norb
+        cb = self.col_block
+        nblk = n // cb
+        if n % cb:
+            raise ValueError(f"N = {n} must be a multiple of col_block = {cb}")
+        sign_a_f = self.sign_a.astype(dt)
+        sign_b_f = self.sign_b.astype(dt)
+        nbr_val_a_f = self.nbr_val_a.astype(dt)
+        nbr_val_b_f = self.nbr_val_b.astype(dt)
+        eri_m = self.eri_t.astype(dt).T  # [pq, rs] = (pq|rs)
+        with_penalty = self.spin_shift != 0.0
+        if with_penalty:
+            perm = jnp.asarray(self._qp_perm())
+            src_qp = self.src_b[perm]
+            sign_qp = self.sign_b[perm].astype(dt)
+            n_a, n_b = self.nelec
+            sz = 0.5 * (n_a - n_b)
+            s2_const = sz * sz + sz + n_b
+
+        def block(i, sigma):
+            src_b_blk = jax.lax.dynamic_slice(self.src_b, (0, i * cb), (npair, cb))
+            sgn_b_blk = jax.lax.dynamic_slice(sign_b_f, (0, i * cb), (npair, cb))
+            # D_b for this output block: (m, npair, cb) column gathers of c
+            db = jnp.take(c, src_b_blk, axis=1) * sgn_b_blk[None, :, :]
+            db_t = jnp.transpose(db, (1, 0, 2)).reshape(npair, m * cb)
+            g2 = jnp.matmul(eri_m, db_t, preferred_element_type=dt).reshape(
+                npair, m, cb
+            )
+            # alpha application: row gathers within the block
+            picked = jnp.take_along_axis(
+                g2, self.src_a[:, :, None].astype(jnp.int32), axis=1
+            )
+            sig_blk = jnp.sum(sign_a_f[:, :, None] * picked, axis=0)
+            # same-spin alpha on this column block
+            c_blk = jax.lax.dynamic_slice(c, (0, i * cb), (m, cb))
+            sig_blk = sig_blk + jnp.einsum(
+                "jl,jlc->jc", nbr_val_a_f, c_blk[self.nbr_idx_a]
+            )
+            # same-spin beta for these output columns (sources = full c)
+            idx_b_blk = jax.lax.dynamic_slice(
+                self.nbr_idx_b, (i * cb, 0), (cb, self.nbr_idx_b.shape[1])
+            )
+            val_b_blk = jax.lax.dynamic_slice(
+                nbr_val_b_f, (i * cb, 0), (cb, nbr_val_b_f.shape[1])
+            )
+            picked_b = jnp.take(c, idx_b_blk, axis=1)
+            sig_blk = sig_blk + jnp.einsum("kl,mkl->mk", val_b_blk, picked_b)
+            if with_penalty:
+                srcq_blk = jax.lax.dynamic_slice(src_qp, (0, i * cb), (npair, cb))
+                sgnq_blk = jax.lax.dynamic_slice(sign_qp, (0, i * cb), (npair, cb))
+                # mixed term by direct double gather: c[src_a[pq,J], src_qp[pq,col]]
+                picked_m = c[
+                    self.src_a[:, :, None].astype(jnp.int32),
+                    srcq_blk[:, None, :].astype(jnp.int32),
+                ]  # (npair, m, cb)
+                mixed = jnp.einsum("pj,pc,pjc->jc", sign_a_f, sgnq_blk, picked_m)
+                sig_blk = sig_blk + self.spin_shift * (
+                    (s2_const - self.spin_target) * c_blk - mixed
+                )
+            return jax.lax.dynamic_update_slice(sigma, sig_blk, (0, i * cb))
+
+        return jax.lax.fori_loop(0, nblk, block, jnp.zeros((m, n), dt))
 
     def __matvec_blocked(self, c: jax.Array) -> jax.Array:
         dt = c.dtype

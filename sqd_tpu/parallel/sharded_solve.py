@@ -13,9 +13,8 @@ Davidson driver itself runs unmodified inside ``shard_map``.
 
 Memory per device drops from ``npair * M * N`` to ``npair/n_dev * M * N``,
 which is what lifts the 1e7-determinant configs ([4Fe-4S], BASELINE config 5)
-onto a v5e-8 slice.
-
-Limitations (v1): no fused spin penalty in the sharded matvec.
+onto a v5e-8 slice.  The fused spin penalty works sharded too: the
+qp-permuted beta tables it needs are sharded along the same pair axis.
 """
 
 from __future__ import annotations
@@ -86,10 +85,38 @@ def _sharded_matvec(op, x):
     return sigma.reshape(-1)
 
 
-def _solve_inside(op32, op64, hdiag, tol, max_subspace, max_cycle):
+def _sharded_matvec_spin(op, x):
+    """:func:`_sharded_matvec` + fused spin penalty ``shift * (S^2 - ss)``.
+
+    The mixed term ``sum_pq E^a_pq E^b_qp`` needs, for each local pq block,
+    the beta gather tables of the *transposed* pair qp — those are just data,
+    so ``src_b_qp``/``sign_b_qp`` (the qp-permuted tables) are sharded along
+    the same pair axis at build time, keeping the whole term shard-local up
+    to one psum.
+    """
+    sigma = _sharded_matvec(op, x)
+    m = op["nbr_idx_a"].shape[0]
+    n = op["nbr_idx_b"].shape[0]
+    dt = x.dtype
+    c = x.reshape(m, n)
+    with jax.default_matmul_precision("highest"):
+        d_loc = op["sign_a"].astype(dt)[:, :, None] * c[op["src_a"]]
+        picked = jnp.take_along_axis(
+            d_loc, op["src_b_qp"][:, None, :].astype(jnp.int32), axis=2
+        )
+        mixed = jnp.sum(op["sign_b_qp"].astype(dt)[:, None, :] * picked, axis=0)
+        mixed = jax.lax.psum(mixed, _AXIS)
+        shift = op["spin_shift"].astype(dt)
+        const = op["spin_const"].astype(dt)  # sz(sz+1) + n_b - spin_target
+        penalty = shift * (const * c - mixed)
+    return sigma + penalty.reshape(-1)
+
+
+def _solve_inside(op32, op64, hdiag, tol, max_subspace, max_cycle, mv=None):
+    mv = mv or _sharded_matvec
     v0 = davidson_initial_guess(hdiag, hdiag.dtype)
     res = davidson_ground_state(
-        _sharded_matvec,
+        mv,
         op32,
         hdiag,
         v0,
@@ -99,6 +126,9 @@ def _solve_inside(op32, op64, hdiag, tol, max_subspace, max_cycle):
     )
     vec = res.vector.astype(jnp.float64)
     vec = vec / jnp.linalg.norm(vec)
+    # energy is always the BARE Hamiltonian expectation — the spin penalty
+    # only steers the iteration (same policy as the reference's
+    # energy-from-RDMs, fermion.py:509-524)
     hv = _sharded_matvec(op64, vec)
     energy = jnp.vdot(vec, hv)
     return energy, vec, res.iterations, res.converged, res.residual_norm
@@ -111,6 +141,8 @@ def solve_sci_distributed(
     norb: int,
     nelec,
     *,
+    spin_sq=None,
+    shift: float = 0.1,
     mesh=None,
     solver_dtype=jnp.float32,
     tol: float = 1e-4,
@@ -120,13 +152,20 @@ def solve_sci_distributed(
 ):
     """Diagonalize ONE subspace with the pair axis sharded over the mesh.
 
-    Same contract as :func:`sqd_tpu.fermion.solve_sci` (minus the spin
-    penalty); intended for subspaces too large for a single chip.
+    Same contract as :func:`sqd_tpu.fermion.solve_sci` (including the fused
+    ``shift * (S^2 - spin_sq)`` penalty); intended for subspaces too large
+    for a single chip.
     """
     from ..fermion import SCIResult, SCIState, _check_ci_strs
 
     if mesh is None:
         mesh = default_mesh(_AXIS)
+    elif _AXIS not in mesh.axis_names:
+        # caller handed us a mesh laid out for another axis name (e.g. the
+        # batch mesh); the pair-sharded solve is 1-D, so flatten and rename
+        from jax.sharding import Mesh
+
+        mesh = Mesh(mesh.devices.reshape(-1), (_AXIS,))
     ndev = mesh.devices.size
     strs_a, strs_b = _check_ci_strs(ci_strings)
     pa = bitpack.pack_ints(np.asarray(strs_a, dtype=object if norb >= 63 else np.int64), norb)
@@ -141,8 +180,10 @@ def solve_sci_distributed(
     )
     m, n = ham64.shape
 
+    with_spin = spin_sq is not None
+
     def op_dict(ham, dtype):
-        return {
+        out = {
             "src_a": ham.src_a,
             "sign_a": ham.sign_a,
             "src_b": ham.src_b,
@@ -153,6 +194,18 @@ def solve_sci_distributed(
             "nbr_val_b": ham.nbr_val_b.astype(dtype),
             "eri_t": ham.eri_t.astype(dtype),
         }
+        if with_spin:
+            p_idx, q_idx = np.divmod(np.arange(npair), norb)
+            perm = q_idx * norb + p_idx
+            n_a, n_b = (int(x) for x in nelec)
+            sz = 0.5 * (n_a - n_b)
+            out["src_b_qp"] = ham.src_b[jnp.asarray(perm)]
+            out["sign_b_qp"] = ham.sign_b[jnp.asarray(perm)]
+            out["spin_shift"] = jnp.asarray(float(shift), jnp.float64)
+            out["spin_const"] = jnp.asarray(
+                sz * sz + sz + n_b - float(spin_sq), jnp.float64
+            )
+        return out
 
     specs = {
         "src_a": P(_AXIS),
@@ -164,6 +217,10 @@ def solve_sci_distributed(
         "nbr_idx_b": P(),
         "nbr_val_b": P(),
         "eri_t": P(),
+        "src_b_qp": P(_AXIS),
+        "sign_b_qp": P(_AXIS),
+        "spin_shift": P(),
+        "spin_const": P(),
     }
 
     op32 = op_dict(ham64, solver_dtype)
@@ -177,7 +234,8 @@ def solve_sci_distributed(
     op64 = place(op64)
     hdiag = jax.device_put(hdiag, NamedSharding(mesh, P()))
 
-    in_specs = ({k: specs[k] for k in specs}, {k: specs[k] for k in specs}, P())
+    op_specs = {k: specs[k] for k in op32}
+    in_specs = (op_specs, op_specs, P())
     solve = jax.jit(
         jax.shard_map(
             partial(
@@ -185,6 +243,7 @@ def solve_sci_distributed(
                 tol=tol,
                 max_subspace=max_subspace,
                 max_cycle=max_cycle,
+                mv=_sharded_matvec_spin if with_spin else _sharded_matvec,
             ),
             mesh=mesh,
             in_specs=in_specs,
