@@ -268,6 +268,22 @@ def test_rdms_vs_oracle():
     np.testing.assert_allclose(recon, np.asarray(dm2), atol=1e-9)
 
 
+def test_rdms_blocked_matches_unblocked():
+    """block_bytes=0 forces the smallest Gram tiles; results must be exact.
+
+    Odd (13, 11) shape also exercises the zero-pad path (13 % 8 != 0)."""
+    ham, _, (strs_a, strs_b, h1, eri) = build_pair(6, 3, 2, 13, 11, seed=21)
+    m, n = ham.shape
+    rng = np.random.default_rng(22)
+    c = jnp.asarray(rng.normal(size=(m, n)))
+    pa = bitpack.pack_ints(strs_a, 6)
+    pb = bitpack.pack_ints(strs_b, 6)
+    full = rdm.make_rdms(ham, c, pa, pb, spin_resolved=True)
+    blk = rdm.make_rdms(ham, c, pa, pb, spin_resolved=True, block_bytes=0)
+    for k in ("dm1a", "dm1b", "dm2aa", "dm2ab", "dm2bb"):
+        np.testing.assert_allclose(np.asarray(blk[k]), np.asarray(full[k]), atol=1e-13)
+
+
 def test_spin_square_and_penalty():
     norb, na, nb = 4, 2, 2
     h1, eri = random_integrals(norb, 9)
