@@ -34,7 +34,11 @@ def main():
     
     from sqd_tpu.ops import bitpack
     from sqd_tpu.ops.davidson import davidson_ground_state, davidson_initial_guess
-    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian, sci_matvec_flat
+    from sqd_tpu.ops.hamiltonian import (
+        build_sci_hamiltonian,
+        expectation_value,
+        sci_matvec_flat,
+    )
 
     norb, nelec = 16, (5, 5)
     m = n = 1000
@@ -90,9 +94,10 @@ def main():
         res = davidson_ground_state(
             sci_matvec_flat, ham32, hd32, v0, tol=1e-3, max_subspace=24, max_iterations=200
         )
-        vec = res.vector.astype(jnp.float64)
-        hv = sci_matvec_flat(ham64, vec)
-        energy = jnp.vdot(vec, hv) / jnp.vdot(vec, vec)
+        # chunk-accumulated f64 energy: a plain "f64" matvec+vdot on TPU is
+        # both ~12x slower AND only ~1e-5-accurate (f32-grade MXU
+        # accumulation); this path is ~1e-9 vs host-f64 ground truth.
+        energy = expectation_value(ham64, res.vector)
         return float(energy), int(res.iterations), float(res.residual_norm)
 
     # warm-up (compile)
@@ -159,10 +164,8 @@ def main():
                     sci_matvec_flat, ham32_7, hd7, v0,
                     tol=1e-3, max_subspace=24, max_iterations=200,
                 )
-                vec = res.vector.astype(jnp.float64)
-                hv = sci_matvec_flat(ham64_7, vec)
                 return (
-                    float(jnp.vdot(vec, hv) / jnp.vdot(vec, vec)),
+                    float(expectation_value(ham64_7, res.vector)),
                     int(res.iterations),
                     float(res.residual_norm),
                 )

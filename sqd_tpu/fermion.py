@@ -34,6 +34,7 @@ from .configuration_recovery import recover_configurations
 from .counts import bit_array_to_arrays, bitstring_matrix_to_integers
 from .ops import bitpack, rdm as rdm_ops
 from .ops.davidson import davidson_ground_state, davidson_initial_guess
+from .ops import hamiltonian as hamiltonian_ops
 from .ops.hamiltonian import SCIHamiltonian, build_sci_hamiltonian, sci_matvec_flat
 from .ops.linktab import build_gather_tables
 from .subsampling import postselect_by_hamming_right_and_left, subsample
@@ -383,7 +384,7 @@ def solve_sci(
     vec_pad = vec_flat.reshape(mp, np_)
     vec_pad = vec_pad / jnp.linalg.norm(vec_pad)
 
-    # f64 RDMs -> occupancies + energy (reference policy, fermion.py:517-524).
+    # f64 RDMs -> occupancies (reference policy, fermion.py:517-524).
     # Padded rows/columns are exactly zero, so the padded gather tables give
     # the same RDMs as an unpadded rebuild would.
     rdms = rdm_ops.make_rdms(ham64, vec_pad, pa, pb)
@@ -393,9 +394,14 @@ def solve_sci(
         np.diagonal(np.asarray(rdms["dm1a"])).copy(),
         np.diagonal(np.asarray(rdms["dm1b"])).copy(),
     )
+    # Bare-H energy via the chunk-accumulated evaluator rather than
+    # energy_from_rdms: TPU lowers "f64" dot_generals to f32-grade
+    # accumulation, which costs ~1e-5 relative in the RDM contractions at
+    # 1e6 determinants; expectation_value restores ~1e-9 (see its docstring).
+    # On CPU the two agree to machine precision (covered by tests).
     energy = float(
-        rdm_ops.energy_from_rdms(
-            one_body_tensor, two_body_tensor, rdms["dm1a"] + rdms["dm1b"], rdms["dm2"]
+        hamiltonian_ops.expectation_value(
+            ham64, vec_pad.reshape(-1), spin_penalty=False
         )
     )
 
@@ -818,11 +824,14 @@ def rotate_integrals(
 
 @jax.jit
 def _rotate_integrals_jit(hcore, eri, k_flat):
-    k = _antisymmetric_matrix_from_upper_tri(k_flat, hcore.shape[0])
-    u = jax.scipy.linalg.expm(k)
-    h_rot = u.T @ hcore @ u
-    eri_rot = jnp.einsum("pqrs,pi,qj,rk,sl->ijkl", eri, u, u, u, u, optimize=True)
-    return h_rot, eri_rot
+    # precision-pinned: integral transforms at TPU-default (bf16-grade)
+    # precision corrupt every downstream energy at the 1e-3-relative level
+    with jax.default_matmul_precision("highest"):
+        k = _antisymmetric_matrix_from_upper_tri(k_flat, hcore.shape[0])
+        u = jax.scipy.linalg.expm(k)
+        h_rot = u.T @ hcore @ u
+        eri_rot = jnp.einsum("pqrs,pi,qj,rk,sl->ijkl", eri, u, u, u, u, optimize=True)
+        return h_rot, eri_rot
 
 
 def _rotated_energy(dm1, dm2, hcore, eri, k_flat):
@@ -831,11 +840,12 @@ def _rotated_energy(dm1, dm2, hcore, eri, k_flat):
     The reference differentiates the same contraction with JAX
     (``fermion.py:911-933``); here the whole SGD loop is fused on device.
     """
-    k = _antisymmetric_matrix_from_upper_tri(k_flat, hcore.shape[0])
-    u = jax.scipy.linalg.expm(k)
-    h_rot = u.T @ hcore @ u
-    eri_rot = jnp.einsum("pqrs,pi,qj,rk,sl->ijkl", eri, u, u, u, u)
-    return jnp.sum(dm1 * h_rot) + 0.5 * jnp.sum(dm2 * eri_rot)
+    with jax.default_matmul_precision("highest"):
+        k = _antisymmetric_matrix_from_upper_tri(k_flat, hcore.shape[0])
+        u = jax.scipy.linalg.expm(k)
+        h_rot = u.T @ hcore @ u
+        eri_rot = jnp.einsum("pqrs,pi,qj,rk,sl->ijkl", eri, u, u, u, u)
+        return jnp.sum(dm1 * h_rot) + 0.5 * jnp.sum(dm2 * eri_rot)
 
 
 from functools import partial as _partial

@@ -34,7 +34,7 @@ the whole Krylov iteration (SURVEY.md §7 hard part #2).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from functools import partial
 
 import numpy as np
@@ -44,7 +44,12 @@ import jax.numpy as jnp
 
 from . import bitpack, linktab
 
-__all__ = ["SCIHamiltonian", "build_sci_hamiltonian", "build_samespin_tables"]
+__all__ = [
+    "SCIHamiltonian",
+    "build_sci_hamiltonian",
+    "build_samespin_tables",
+    "expectation_value",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -90,17 +95,21 @@ def _samespin_candidates(strs, h1e, eri, norb: int, nelec_spin: int):
     dt = eri.dtype
 
     # mean-field weights for singles: Wx[pq, k] = (pq|kk) - (pk|kq)
-    wx = (jnp.einsum("pqkk->pqk", eri) - jnp.einsum("pkkq->pqk", eri)).reshape(
-        norb * norb, norb
-    )
-    mf = occ.astype(dt) @ wx.T  # (n, npair)
+    # NOTE: table VALUES must be full precision — an unpinned matmul here
+    # runs at bf16-grade default on TPU and poisons every downstream energy
+    # by ~1e-4 (observed vs host-f64 ground truth at the 1e6-det scale).
+    with jax.default_matmul_precision("highest"):
+        wx = (jnp.einsum("pqkk->pqk", eri) - jnp.einsum("pkkq->pqk", eri)).reshape(
+            norb * norb, norb
+        )
+        mf = occ.astype(dt) @ wx.T  # (n, npair)
 
-    # one-spin diagonal: occ.h_diag + 1/2 occ (J - K) occ
-    hd = jnp.diagonal(h1e)
-    jm = jnp.einsum("ppqq->pq", eri)
-    km = jnp.einsum("pqqp->pq", eri)
-    od = occ.astype(dt)
-    diag = od @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", od, jm - km, od)
+        # one-spin diagonal: occ.h_diag + 1/2 occ (J - K) occ
+        hd = jnp.diagonal(h1e)
+        jm = jnp.einsum("ppqq->pq", eri)
+        km = jnp.einsum("pqqp->pq", eri)
+        od = occ.astype(dt)
+        diag = od @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", od, jm - km, od)
 
     (si, sk), (di, dj, dk, dl) = _candidate_index_arrays(nelec_spin, nv)
     si, sk = jnp.asarray(si), jnp.asarray(sk)
@@ -316,13 +325,15 @@ class SCIHamiltonian:
         """``(H_aa (x) I) c`` via the neighbor list (row gathers)."""
         dt = c.dtype
         picked = c[self.nbr_idx_a]  # (M, La, N)
-        return jnp.einsum("jl,jln->jn", self.nbr_val_a.astype(dt), picked)
+        with jax.default_matmul_precision("highest"):
+            return jnp.einsum("jl,jln->jn", self.nbr_val_a.astype(dt), picked)
 
     def apply_samespin_beta(self, c: jax.Array) -> jax.Array:
         """``(I (x) H_bb) c`` via the neighbor list (column gathers)."""
         dt = c.dtype
         picked = jnp.take(c, self.nbr_idx_b, axis=1)  # (M, N, Lb)
-        return jnp.einsum("kl,mkl->mk", self.nbr_val_b.astype(dt), picked)
+        with jax.default_matmul_precision("highest"):
+            return jnp.einsum("kl,mkl->mk", self.nbr_val_b.astype(dt), picked)
 
     def _qp_perm(self) -> np.ndarray:
         npair = self.norb * self.norb
@@ -532,6 +543,143 @@ class SCIHamiltonian:
         return jnp.vdot(c, s2c) / jnp.vdot(c, c)
 
 
+@partial(jax.jit, static_argnames=("row_block", "spin_penalty", "force_chunked"))
+def expectation_value(
+    ham: SCIHamiltonian,
+    c: jax.Array,
+    *,
+    row_block: int = 32,
+    spin_penalty: bool = True,
+    force_chunked: bool = False,
+):
+    """``<c|H|c> / <c|c>`` to ~1e-9 relative accuracy ON TPU hardware.
+
+    TPU has no f64 MXU: XLA lowers "f64" dot_generals to passes whose
+    accumulation is f32-grade, so a plain f64 matvec + vdot carries ~1e-5
+    relative noise at K = 10^6 (measured against host-f64 ground truth).
+    This evaluator restores full accuracy from exact-f32 data:
+
+    * cross-spin: ``pab[pq, rs] = <E^a_pq c, E^b_rs c>`` accumulated over
+      alpha-row blocks — each block is one f32-HIGHEST matmul with short K
+      (``row_block * N``, negligible accumulation walk), summed across
+      blocks in true f64 (elementwise f64 adds are software-exact).  The
+      f64 integrals enter only in the final elementwise contraction.
+    * same-spin: per-neighbor row dots in f32-HIGHEST (K = N or M), scaled
+      by the exact f64 neighbor values.
+    * f64 input vectors are split ``c = c32 + c_lo``; the cross term
+      ``2 <c_lo, H c32>`` only needs ~1e-2 relative accuracy (|c_lo| <=
+      6e-8 |c|), so one plain f32 matvec covers it.
+
+    The fused spin penalty (``ham.spin_shift``) is included, reusing pab's
+    qp-diagonal for the mixed term.  Memory: O(npair * row_block * N), so
+    this also runs at 10^7 determinants where the f64 matvec cannot.
+    """
+    m, n = ham.shape
+    npair = ham.norb * ham.norb
+    f64 = jnp.float64
+
+    if jax.default_backend() == "cpu" and not force_chunked:
+        # CPU f64 matmuls are true f64 — the plain Rayleigh quotient is
+        # exact there (and the <1e-8 Ha guarantees rest on it).
+        ham_e = ham.astype(f64)
+        if not spin_penalty and ham.spin_shift != 0.0:
+            ham_e = _dc_replace(ham_e, spin_shift=0.0)
+        c64 = c.astype(f64).reshape(m, n)
+        hv = ham_e.matvec(c64).reshape(-1)
+        cf = c64.reshape(-1)
+        return jnp.vdot(cf, hv) / jnp.vdot(cf, cf)
+
+    c32 = c.astype(jnp.float32).reshape(m, n)
+    HI = jax.lax.Precision.HIGHEST
+
+    m_pad = -(-m // row_block) * row_block
+    pad = ((0, 0), (0, m_pad - m))
+    src_a = jnp.pad(ham.src_a, pad)
+    sign_a = jnp.pad(ham.sign_a, pad).astype(jnp.float32)
+    sign_b32 = ham.sign_b.astype(jnp.float32)
+    c_p = jnp.pad(c32, ((0, m_pad - m), (0, 0)))
+    nbr_idx_a = jnp.pad(ham.nbr_idx_a, ((0, m_pad - m), (0, 0)))
+    nbr_val_a = jnp.pad(ham.nbr_val_a, ((0, m_pad - m), (0, 0))).astype(f64)
+    la = nbr_idx_a.shape[1]
+
+    def body(b, carry):
+        pab, e_ss = carry
+        i0 = b * row_block
+        sa = jax.lax.dynamic_slice(src_a, (0, i0), (npair, row_block))
+        ga = jax.lax.dynamic_slice(sign_a, (0, i0), (npair, row_block))
+        d_a = ga[:, :, None] * c_p[sa]
+        c_blk = jax.lax.dynamic_slice(c_p, (i0, 0), (row_block, n))
+        d_b = jnp.swapaxes(jnp.take(c_blk, ham.src_b, axis=1), 0, 1) * sign_b32[:, None, :]
+        blk = jnp.matmul(
+            d_a.reshape(npair, -1),
+            d_b.reshape(npair, -1).T,
+            preferred_element_type=jnp.float32,
+            precision=HI,
+        )
+        # same-spin alpha rows in this block: r[j, l] = <c[nbr[j, l]], c[j]>
+        ia = jax.lax.dynamic_slice(nbr_idx_a, (i0, 0), (row_block, la))
+        va = jax.lax.dynamic_slice(nbr_val_a, (i0, 0), (row_block, la))
+        r_a = jnp.einsum(
+            "jln,jn->jl", c_p[ia], c_blk,
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        e_ss = e_ss + jnp.sum(va * r_a.astype(f64))
+        return pab + blk.astype(f64), e_ss
+
+    pab, e_ss_a = jax.lax.fori_loop(
+        0, m_pad // row_block, body,
+        (jnp.zeros((npair, npair), f64), jnp.zeros((), f64)),
+    )
+    e = jnp.sum(ham.eri_t.astype(f64) * pab.T) + e_ss_a
+
+    # same-spin beta: column-blocked row dots on the transposed amplitudes
+    ct = c32.T  # (n, m)
+    lb = ham.nbr_idx_b.shape[1]
+    n_pad = -(-n // row_block) * row_block
+    ct_p = jnp.pad(ct, ((0, n_pad - n), (0, 0)))
+    nbr_idx_b = jnp.pad(ham.nbr_idx_b, ((0, n_pad - n), (0, 0)))
+    nbr_val_b = jnp.pad(ham.nbr_val_b, ((0, n_pad - n), (0, 0))).astype(f64)
+
+    def body_b(b, e_acc):
+        k0 = b * row_block
+        ib = jax.lax.dynamic_slice(nbr_idx_b, (k0, 0), (row_block, lb))
+        vb = jax.lax.dynamic_slice(nbr_val_b, (k0, 0), (row_block, lb))
+        ct_blk = jax.lax.dynamic_slice(ct_p, (k0, 0), (row_block, m))
+        r_b = jnp.einsum(
+            "kln,kn->kl", ct_p[ib], ct_blk,
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        return e_acc + jnp.sum(vb * r_b.astype(f64))
+
+    e = e + jax.lax.fori_loop(0, n_pad // row_block, body_b, jnp.zeros((), f64))
+
+    if spin_penalty and ham.spin_shift != 0.0:
+        # <c, sum_pq E^a_pq E^b_qp c> = sum_pq <E^a_qp c, E^b_qp c> = tr(pab)
+        n_a, n_b = ham.nelec
+        sz = 0.5 * (n_a - n_b)
+        const = sz * sz + sz + n_b
+        nrm32 = jnp.sum(c32.astype(f64) * c32.astype(f64))
+        s2_expect = const * nrm32 - jnp.trace(pab)
+        e = e + ham.spin_shift * (s2_expect - ham.spin_target * nrm32)
+
+    c64 = c.astype(f64).reshape(m, n)
+    nrm = jnp.sum(c64 * c64)
+    if c.dtype == f64:
+        # low part correction: 2 <c_lo, H c32> at f32 accuracy is plenty
+        c_lo = (c64 - c32.astype(f64)).astype(jnp.float32).reshape(-1)
+        ham32 = ham.astype(jnp.float32)
+        if not spin_penalty and ham.spin_shift != 0.0:
+            ham32 = _dc_replace(ham32, spin_shift=0.0)
+        hv32 = ham32.matvec(c32).reshape(-1)
+        e = e + 2.0 * jnp.vdot(c_lo.astype(f64), hv32.astype(f64))
+    return e / nrm
+
+
+def _qp_perm_np(norb: int) -> np.ndarray:
+    p, q = np.divmod(np.arange(norb * norb), norb)
+    return q * norb + p
+
+
 def sci_matvec_flat(ham: SCIHamiltonian, x: jax.Array) -> jax.Array:
     """Flat-vector matvec adapter for the Davidson driver.
 
@@ -543,17 +691,20 @@ def sci_matvec_flat(ham: SCIHamiltonian, x: jax.Array) -> jax.Array:
 
 
 def _hdiag(occ_a, occ_b, h1e, eri, dtype):
-    """Diagonal ``<Ia Ib|H|Ia Ib>`` from occupation-number matrices (all matmuls)."""
-    hd = jnp.diagonal(h1e)
-    jm = jnp.einsum("ppqq->pq", eri)
-    km = jnp.einsum("pqqp->pq", eri)
-    oa = occ_a.astype(dtype)
-    ob = occ_b.astype(dtype)
-    jk = jm - km
-    a_part = oa @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", oa, jk, oa)
-    b_part = ob @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", ob, jk, ob)
-    cross = oa @ jm @ ob.T
-    return a_part[:, None] + b_part[None, :] + cross
+    """Diagonal ``<Ia Ib|H|Ia Ib>`` from occupation-number matrices (all matmuls).
+
+    Precision-pinned: see the note in :func:`_samespin_candidates`."""
+    with jax.default_matmul_precision("highest"):
+        hd = jnp.diagonal(h1e)
+        jm = jnp.einsum("ppqq->pq", eri)
+        km = jnp.einsum("pqqp->pq", eri)
+        oa = occ_a.astype(dtype)
+        ob = occ_b.astype(dtype)
+        jk = jm - km
+        a_part = oa @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", oa, jk, oa)
+        b_part = ob @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", ob, jk, ob)
+        cross = oa @ jm @ ob.T
+        return a_part[:, None] + b_part[None, :] + cross
 
 
 def build_sci_hamiltonian(

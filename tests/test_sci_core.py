@@ -268,6 +268,52 @@ def test_rdms_vs_oracle():
     np.testing.assert_allclose(recon, np.asarray(dm2), atol=1e-9)
 
 
+def test_expectation_value_matches_matvec():
+    """Chunk-accumulated <c|H|c>/<c|c> == f64 matvec Rayleigh quotient.
+
+    Tolerance is the f32-product floor (~eps_f32 * |E|): the evaluator's
+    whole point is that on TPU it beats the 'f64' matvec path by 1e4x (the
+    MXU accumulates f32-grade); on CPU both are near-exact."""
+    from sqd_tpu.ops.hamiltonian import expectation_value, sci_matvec_flat
+
+    ham, _, _ = build_pair(6, 3, 2, 17, 13, seed=31)
+    m, n = ham.shape
+    rng = np.random.default_rng(32)
+    for dtype in (np.float64, np.float32):
+        v = jnp.asarray(rng.normal(size=(m * n,)), dtype)
+        v64 = v.astype(jnp.float64)
+        hv = sci_matvec_flat(ham, v64)
+        e_ref = float(jnp.vdot(v64, hv) / jnp.vdot(v64, v64))
+        # default path (exact f64 on the CPU backend)
+        e = float(expectation_value(ham, v, row_block=8))
+        assert abs(e - e_ref) < 1e-11 * max(1.0, abs(e_ref)), (dtype, e, e_ref)
+        # chunked TPU core, forced on CPU: f32-product floor
+        e_c = float(expectation_value(ham, v, row_block=8, force_chunked=True))
+        assert abs(e_c - e_ref) < 5e-7 * max(1.0, abs(e_ref)), (dtype, e_c, e_ref)
+
+    # spin penalty on/off
+    h1, eri = random_integrals(4, 33)
+    strs = dense_fci.all_hamming_strings(4, 2)
+    pa4 = bitpack.pack_ints(strs, 4)
+    ham_pen = build_sci_hamiltonian(
+        pa4, pa4, h1, eri, 4, (2, 2), spin_shift=0.3, spin_target=2.0
+    )
+    v = jnp.asarray(rng.normal(size=(len(strs) ** 2,)))
+    hv = sci_matvec_flat(ham_pen, v)
+    e_pen_ref = float(jnp.vdot(v, hv) / jnp.vdot(v, v))
+    for fc in (False, True):
+        tol = 5e-7 if fc else 1e-11
+        e_pen = float(expectation_value(ham_pen, v, row_block=8, force_chunked=fc))
+        assert abs(e_pen - e_pen_ref) < tol * max(1.0, abs(e_pen_ref)), fc
+        # bare energy: subtract shift * (<S^2> - target)
+        s2 = float(ham_pen.spin_square(v.reshape(len(strs), len(strs))))
+        e_bare_ref = e_pen_ref - 0.3 * (s2 - 2.0)
+        e_bare = float(
+            expectation_value(ham_pen, v, row_block=8, spin_penalty=False, force_chunked=fc)
+        )
+        assert abs(e_bare - e_bare_ref) < tol * max(1.0, abs(e_bare_ref)), fc
+
+
 def test_rdms_blocked_matches_unblocked():
     """block_bytes=0 forces the smallest Gram tiles; results must be exact.
 
