@@ -784,13 +784,24 @@ def build_sci_hamiltonian(
     if m_pad < m or n_pad < n:
         raise ValueError(f"pad_to {pad_to} smaller than subspace ({m}, {n})")
     if col_block == "auto":
-        budget_elems = 48 * 1024 * 1024  # ~192 MB of f32 per-block temporaries
+        # Unblocked full path up to ~320M G-elements (1.25 GB f32): measured
+        # 0.52s vs 0.62s for the cb=128 blocked loop at 1e6 dets.  The full
+        # path needs LANE-ALIGNED shapes: at (1000, 1000) the unblocked
+        # solve failed to converge (matvec noise above tol) while the same
+        # code at (1000, 1024) converges in 11 iterations — always pad N to
+        # 128 and M to 8 here.  Beyond the budget, column-block with ~48M
+        # element tiles (the hybrid beta-first path takes over past 4 GB).
+        budget_elems = 320 * 1024 * 1024
         if npair * m_pad * n_pad > budget_elems:
-            cb = max(128, min(n_pad, budget_elems // (npair * m_pad)))
+            blk_elems = 48 * 1024 * 1024
+            cb = max(128, min(n_pad, blk_elems // (npair * m_pad)))
             cb = max(128, (cb // 128) * 128)
             col_block = cb if cb < n_pad else 0
         else:
             col_block = 0
+        if col_block == 0 and npair * m_pad * n_pad > 32 * 1024 * 1024:
+            m_pad = -(-m_pad // 8) * 8
+            n_pad = -(-n_pad // 128) * 128
     col_block = int(col_block)
     if col_block:
         n_pad = -(-n_pad // col_block) * col_block  # blocked pass needs N % cb == 0
