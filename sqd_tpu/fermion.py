@@ -35,8 +35,13 @@ from .counts import bit_array_to_arrays, bitstring_matrix_to_integers
 from .ops import bitpack, rdm as rdm_ops
 from .ops.davidson import davidson_ground_state, davidson_initial_guess
 from .ops import hamiltonian as hamiltonian_ops
-from .ops.hamiltonian import SCIHamiltonian, build_sci_hamiltonian, sci_matvec_flat
-from .ops.linktab import build_gather_tables
+from .ops.hamiltonian import (
+    SCIBasis,
+    SCIHamiltonian,
+    build_sci_basis,
+    build_sci_hamiltonian,
+    sci_matvec_flat,
+)
 from .subsampling import postselect_by_hamming_right_and_left, subsample
 
 __all__ = [
@@ -135,29 +140,20 @@ class SCIState:
                 nelec=tuple(data["nelec"]),
             )
 
-    def _basis(self) -> SCIHamiltonian:
-        """Gather-table-only operator view (no integrals) for RDM/spin queries."""
-        norb = int(self.norb)
-        pa = bitpack.pack_ints(np.asarray(self.ci_strs_a), norb)
-        pb = bitpack.pack_ints(np.asarray(self.ci_strs_b), norb)
-        src_a, sign_a = build_gather_tables(jnp.asarray(pa), norb)
-        src_b, sign_b = build_gather_tables(jnp.asarray(pb), norb)
-        m, n = len(self.ci_strs_a), len(self.ci_strs_b)
-        z = jnp.zeros
-        return SCIHamiltonian(
-            src_a=src_a,
-            sign_a=sign_a,
-            src_b=src_b,
-            sign_b=sign_b,
-            nbr_idx_a=jnp.zeros((m, 1), jnp.int32),
-            nbr_val_a=z((m, 1)),
-            nbr_idx_b=jnp.zeros((n, 1), jnp.int32),
-            nbr_val_b=z((n, 1)),
-            eri_t=z((norb * norb, norb * norb)),
-            hdiag=z((m, n)),
-            norb=norb,
-            nelec=tuple(int(x) for x in self.nelec),
-        )
+    def _basis(self) -> SCIBasis:
+        """Gather-table-only basis view (no integrals) for RDM/spin queries.
+
+        Cached on the (frozen) instance: repeated ``rdm()`` / ``spin_square()``
+        / ``orbital_occupancies()`` calls reuse one table build.
+        """
+        cached = getattr(self, "_basis_cache", None)
+        if cached is None:
+            norb = int(self.norb)
+            pa = bitpack.pack_ints(np.asarray(self.ci_strs_a), norb)
+            pb = bitpack.pack_ints(np.asarray(self.ci_strs_b), norb)
+            cached = build_sci_basis(pa, pb, norb, self.nelec)
+            object.__setattr__(self, "_basis_cache", cached)
+        return cached
 
     def rdm(self, rank: int = 1, spin_summed: bool = False) -> np.ndarray:
         """Compute the rank-1 or rank-2 reduced density matrix."""
@@ -647,8 +643,15 @@ def diagonalize_fermionic_hamiltonian(
                 norb=norb,
                 nelec=tuple(int(x) for x in nelec),
             )
+            # Reattach the RDMs an uninterrupted run would carry on its best
+            # result (downstream consumers like orbital optimization rely on
+            # them); one-time cost at resume.
             best_result = SCIResult(
-                ckpt.best_energy, state, orbital_occupancies=ckpt.best_occupancies
+                ckpt.best_energy,
+                state,
+                orbital_occupancies=ckpt.best_occupancies,
+                rdm1=state.rdm(rank=1, spin_summed=True),
+                rdm2=state.rdm(rank=2, spin_summed=True),
             )
 
     raw_bitstrings, raw_probs = bit_array_to_arrays(bit_array)

@@ -232,12 +232,20 @@ void samespin_candidates(const uint32_t* strs, int64_t n, int w, int norb,
     std::vector<uint32_t> buf(w);
     for (int64_t i = 0; i < n; ++i) {
         const uint32_t* J = strs + i * w;
-        int oc = 0, vc = 0;
-        for (int t = 0; t < norb; ++t) {
-            if (get_bit(J, t)) occ[oc++] = t; else virt[vc++] = t;
-        }
         int32_t* idx_row = out_idx + i * cand_width;
         double* val_row = out_val + i * cand_width;
+        // Defensive: a string whose Hamming weight disagrees with nelec would
+        // overrun occ/virt (and the caller's candidate rows).  Emit an inert
+        // all-zero row instead; the Python layer validates and raises first.
+        int oc = 0, vc = 0;
+        for (int t = 0; t < norb; ++t) {
+            if (get_bit(J, t)) { if (oc < nelec) occ[oc] = t; ++oc; }
+            else { if (vc < nv) virt[vc] = t; ++vc; }
+        }
+        if (oc != nelec || vc != nv) {
+            for (int64_t c0 = 0; c0 < cand_width; ++c0) { idx_row[c0] = 0; val_row[c0] = 0.0; }
+            continue;
+        }
         int64_t c = 0;
         // diagonal: h_pp + 1/2 sum_{p,q in J} [(pp|qq) - (pq|qp)]
         double diag = 0.0;

@@ -200,16 +200,23 @@ def davidson_ground_state(
         max_subspace: Krylov buffer rows (static).
         max_iterations: matvec budget (static).
     """
+    # TPU f32 matmuls default to fast bf16 MXU passes (~1e-3 relative error)
+    # — fatal for Gram-Schmidt and the Rayleigh-Ritz Gram matrix. Force true
+    # f32 accumulation throughout the solver.
+    with jax.default_matmul_precision("highest"):
+        return _davidson_inner(
+            matvec, operator, hdiag, v0,
+            tol=tol, max_subspace=max_subspace, max_iterations=max_iterations,
+        )
+
+
+def _davidson_inner(
+    matvec, operator, hdiag, v0, *, tol, max_subspace, max_iterations
+) -> DavidsonResult:
     dim = hdiag.shape[0]
     dt = v0.dtype
     mss = max_subspace
     eps = float(jnp.finfo(dt).tiny) ** 0.5  # real scalar also for complex dt
-
-    # TPU f32 matmuls default to fast bf16 MXU passes (~1e-3 relative error)
-    # — fatal for Gram-Schmidt and the Rayleigh-Ritz Gram matrix. Force true
-    # f32 accumulation throughout the solver.
-    prec_ctx = jax.default_matmul_precision("highest")
-    prec_ctx.__enter__()
 
     v0 = v0 / jnp.linalg.norm(v0)
     w0 = matvec(operator, v0)
@@ -328,7 +335,6 @@ def davidson_ground_state(
         return (~s.done) & (s.it < max_iterations)
 
     final = jax.lax.while_loop(cond, body, state)
-    prec_ctx.__exit__(None, None, None)
     u = final.u / jnp.linalg.norm(final.u)
     return DavidsonResult(
         theta=final.theta,

@@ -45,7 +45,9 @@ import jax.numpy as jnp
 from . import bitpack, linktab
 
 __all__ = [
+    "SCIBasis",
     "SCIHamiltonian",
+    "build_sci_basis",
     "build_sci_hamiltonian",
     "build_samespin_tables",
     "expectation_value",
@@ -214,12 +216,12 @@ def build_samespin_tables(
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
-class SCIHamiltonian:
-    """Device-resident projected Hamiltonian over a (strs_a x strs_b) basis.
+class SCIBasis:
+    """Single-excitation gather tables over a (strs_a x strs_b) product basis.
 
-    The amplitude layout is an ``(M, N)`` matrix over (alpha strings x beta
-    strings), mirroring ``SCIState.amplitudes`` in the reference
-    (``fermion.py:49-52``).
+    Integral-free: enough machinery for RDMs, occupancies and ``S^2`` (the
+    queries :class:`sqd_tpu.fermion.SCIState` serves).  The full
+    :class:`SCIHamiltonian` extends it with the energy/matvec payload.
     """
 
     # single-excitation gather tables (exact cross-spin + RDM machinery)
@@ -227,61 +229,21 @@ class SCIHamiltonian:
     sign_a: jax.Array  # (npair, M) int8
     src_b: jax.Array  # (npair, N) int32
     sign_b: jax.Array  # (npair, N) int8
-    # same-spin sparse neighbor lists (Slater-Condon values)
-    nbr_idx_a: jax.Array  # (M, La) int32, sentinel M
-    nbr_val_a: jax.Array  # (M, La)
-    nbr_idx_b: jax.Array  # (N, Lb) int32, sentinel N
-    nbr_val_b: jax.Array  # (N, Lb)
-    # cross-spin contraction coefficients: eri^T as (npair, npair)
-    eri_t: jax.Array
-    hdiag: jax.Array  # (M, N)
     norb: int
     nelec: tuple[int, int]
-    # spin penalty: H + shift * (S^2 - spin_sq); shift == 0 disables.
-    spin_shift: float = 0.0
-    spin_target: float = 0.0
-    # beta-column block size for the two-pass cross-spin channel (0 = one pass).
-    col_block: int = 0
 
     # -- pytree plumbing ----------------------------------------------------
     def tree_flatten(self):
-        children = (
-            self.src_a,
-            self.sign_a,
-            self.src_b,
-            self.sign_b,
-            self.nbr_idx_a,
-            self.nbr_val_a,
-            self.nbr_idx_b,
-            self.nbr_val_b,
-            self.eri_t,
-            self.hdiag,
-        )
-        aux = (self.norb, self.nelec, self.spin_shift, self.spin_target, self.col_block)
-        return children, aux
+        children = (self.src_a, self.sign_a, self.src_b, self.sign_b)
+        return children, (self.norb, self.nelec)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        norb, nelec, shift, target, col_block = aux
+        norb, nelec = aux
+        src_a, sign_a, src_b, sign_b = children
         return cls(
-            *children,
-            norb=norb,
-            nelec=nelec,
-            spin_shift=shift,
-            spin_target=target,
-            col_block=col_block,
-        )
-
-    def astype(self, dtype) -> "SCIHamiltonian":
-        """Cast the floating-point payload once (so matvecs avoid per-call casts)."""
-        import dataclasses
-
-        return dataclasses.replace(
-            self,
-            eri_t=self.eri_t.astype(dtype),
-            nbr_val_a=self.nbr_val_a.astype(dtype),
-            nbr_val_b=self.nbr_val_b.astype(dtype),
-            hdiag=self.hdiag.astype(dtype),
+            src_a=src_a, sign_a=sign_a, src_b=src_b, sign_b=sign_b,
+            norb=norb, nelec=nelec,
         )
 
     # -- shapes --------------------------------------------------------------
@@ -321,20 +283,6 @@ class SCIHamiltonian:
         picked = jnp.take_along_axis(g, self.src_b[:, None, :].astype(jnp.int32), axis=2)
         return jnp.sum(self.sign_b.astype(dt)[:, None, :] * picked, axis=0)
 
-    def apply_samespin_alpha(self, c: jax.Array) -> jax.Array:
-        """``(H_aa (x) I) c`` via the neighbor list (row gathers)."""
-        dt = c.dtype
-        picked = c[self.nbr_idx_a]  # (M, La, N)
-        with jax.default_matmul_precision("highest"):
-            return jnp.einsum("jl,jln->jn", self.nbr_val_a.astype(dt), picked)
-
-    def apply_samespin_beta(self, c: jax.Array) -> jax.Array:
-        """``(I (x) H_bb) c`` via the neighbor list (column gathers)."""
-        dt = c.dtype
-        picked = jnp.take(c, self.nbr_idx_b, axis=1)  # (M, N, Lb)
-        with jax.default_matmul_precision("highest"):
-            return jnp.einsum("kl,mkl->mk", self.nbr_val_b.astype(dt), picked)
-
     def _qp_perm(self) -> np.ndarray:
         npair = self.norb * self.norb
         p, q = np.divmod(np.arange(npair), self.norb)
@@ -353,12 +301,196 @@ class SCIHamiltonian:
         mixed = jnp.sum(sign_qp.astype(dt)[:, None, :] * picked, axis=0)
         return const * c - mixed
 
+    def spin_square(self, c: jax.Array) -> jax.Array:
+        """``<c|S^2|c> / <c|c>``."""
+        d_a = self.gather_alpha(c)
+        s2c = self.s2_apply_from_alpha(d_a, c)
+        return jnp.vdot(c, s2c) / jnp.vdot(c, c)
+
+
+def build_sci_basis(
+    strs_a_packed: np.ndarray,
+    strs_b_packed: np.ndarray,
+    norb: int,
+    nelec: tuple[int, int],
+    *,
+    tables_backend: str = "auto",
+) -> SCIBasis:
+    """Assemble the gather-table-only basis view (for RDM/S^2 queries)."""
+    use_native = False
+    if tables_backend in ("auto", "native"):
+        from .. import native
+
+        use_native = native.available()
+        if tables_backend == "native" and not use_native:
+            raise RuntimeError("native tables requested but libsqdcore is unavailable")
+    if use_native:
+        from .. import native
+
+        src_a_h, sign_a_h = native.gather_tables(np.asarray(strs_a_packed), norb)
+        src_b_h, sign_b_h = native.gather_tables(np.asarray(strs_b_packed), norb)
+        src_a, sign_a = jnp.asarray(src_a_h), jnp.asarray(sign_a_h)
+        src_b, sign_b = jnp.asarray(src_b_h), jnp.asarray(sign_b_h)
+    else:
+        src_a, sign_a = linktab.build_gather_tables(jnp.asarray(strs_a_packed), norb)
+        src_b, sign_b = linktab.build_gather_tables(jnp.asarray(strs_b_packed), norb)
+    return SCIBasis(
+        src_a=src_a,
+        sign_a=sign_a,
+        src_b=src_b,
+        sign_b=sign_b,
+        norb=int(norb),
+        nelec=tuple(int(x) for x in nelec),
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SCIHamiltonian(SCIBasis):
+    """Device-resident projected Hamiltonian over a (strs_a x strs_b) basis.
+
+    The amplitude layout is an ``(M, N)`` matrix over (alpha strings x beta
+    strings), mirroring ``SCIState.amplitudes`` in the reference
+    (``fermion.py:49-52``).
+    """
+
+    # same-spin sparse neighbor lists (Slater-Condon values).  Declared with
+    # None placeholders only to satisfy dataclass ordering under inheritance;
+    # build_sci_hamiltonian always fills them.
+    nbr_idx_a: jax.Array = None  # (M, La) int32, sentinel M
+    nbr_val_a: jax.Array = None  # (M, La)
+    nbr_idx_b: jax.Array = None  # (N, Lb) int32, sentinel N
+    nbr_val_b: jax.Array = None  # (N, Lb)
+    # cross-spin contraction coefficients: eri^T as (npair, npair)
+    eri_t: jax.Array = None
+    hdiag: jax.Array = None  # (M, N)
+    # spin penalty: H + shift * (S^2 - spin_sq); shift == 0 disables.
+    spin_shift: float = 0.0
+    spin_target: float = 0.0
+    # beta-column block size for the two-pass cross-spin channel (0 = one pass).
+    col_block: int = 0
+
+    # -- pytree plumbing ----------------------------------------------------
+    def tree_flatten(self):
+        children = (
+            self.src_a,
+            self.sign_a,
+            self.src_b,
+            self.sign_b,
+            self.nbr_idx_a,
+            self.nbr_val_a,
+            self.nbr_idx_b,
+            self.nbr_val_b,
+            self.eri_t,
+            self.hdiag,
+        )
+        aux = (self.norb, self.nelec, self.spin_shift, self.spin_target, self.col_block)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        norb, nelec, shift, target, col_block = aux
+        (src_a, sign_a, src_b, sign_b, nbr_idx_a, nbr_val_a,
+         nbr_idx_b, nbr_val_b, eri_t, hdiag) = children
+        return cls(
+            src_a=src_a,
+            sign_a=sign_a,
+            src_b=src_b,
+            sign_b=sign_b,
+            nbr_idx_a=nbr_idx_a,
+            nbr_val_a=nbr_val_a,
+            nbr_idx_b=nbr_idx_b,
+            nbr_val_b=nbr_val_b,
+            eri_t=eri_t,
+            hdiag=hdiag,
+            norb=norb,
+            nelec=nelec,
+            spin_shift=shift,
+            spin_target=target,
+            col_block=col_block,
+        )
+
+    def astype(self, dtype) -> "SCIHamiltonian":
+        """Cast the floating-point payload once (so matvecs avoid per-call casts)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            eri_t=self.eri_t.astype(dtype),
+            nbr_val_a=self.nbr_val_a.astype(dtype),
+            nbr_val_b=self.nbr_val_b.astype(dtype),
+            hdiag=self.hdiag.astype(dtype),
+        )
+
+    def apply_samespin_alpha(self, c: jax.Array) -> jax.Array:
+        """``(H_aa (x) I) c`` via the neighbor list (row gathers)."""
+        dt = c.dtype
+        picked = c[self.nbr_idx_a]  # (M, La, N)
+        with jax.default_matmul_precision("highest"):
+            return jnp.einsum("jl,jln->jn", self.nbr_val_a.astype(dt), picked)
+
+    def apply_samespin_beta(self, c: jax.Array) -> jax.Array:
+        """``(I (x) H_bb) c`` via the neighbor list (column gathers)."""
+        dt = c.dtype
+        picked = jnp.take(c, self.nbr_idx_b, axis=1)  # (M, N, Lb)
+        with jax.default_matmul_precision("highest"):
+            return jnp.einsum("kl,mkl->mk", self.nbr_val_b.astype(dt), picked)
+
     # -- the operator -----------------------------------------------------------
     def matvec(self, c: jax.Array) -> jax.Array:
         """``sigma = (P H P) c`` (+ fused spin penalty if configured)."""
+        if self._pallas_ok(c):
+            return self._matvec_pallas(c)
         if self.col_block and c.shape[1] > self.col_block:
             return self._matvec_blocked(c)
         return self._matvec_full(c)
+
+    def _pallas_ok(self, c: jax.Array) -> bool:
+        """Dispatch the fused VMEM-resident kernel when it fits (f32, TPU)."""
+        from . import pallas_matvec
+
+        if c.dtype != jnp.float32:
+            return False
+        m, n = c.shape
+        if not pallas_matvec.supports(m, n, self.norb * self.norb):
+            return False
+        backend = jax.default_backend()
+        return backend in pallas_matvec.TPU_BACKENDS or pallas_matvec.FORCE_INTERPRET
+
+    def _matvec_pallas(self, c: jax.Array) -> jax.Array:
+        """Cross-spin channel via the fused Pallas kernel (+ XLA same-spin).
+
+        The spin penalty's mixed term ``-shift * sum_pq E^a_pq E^b_qp`` has
+        the same (coefficient x alpha-gather x beta-scatter) shape as the
+        cross-spin contraction, so it rides the same kernel: subtract
+        ``shift`` from ``eri_t[qp, pq]`` and add the remaining elementwise
+        ``shift * (const - target) * c`` outside.
+        """
+        from . import pallas_matvec
+
+        eri_eff = self.eri_t.astype(jnp.float32)
+        if self.spin_shift != 0.0:
+            npair = self.norb * self.norb
+            perm = jnp.asarray(self._qp_perm())
+            eri_eff = eri_eff.at[perm, jnp.arange(npair)].add(
+                jnp.float32(-self.spin_shift)
+            )
+        interpret = (
+            pallas_matvec.FORCE_INTERPRET
+            and jax.default_backend() not in pallas_matvec.TPU_BACKENDS
+        )
+        sigma = pallas_matvec.cross_spin_matvec(
+            c, self.src_a, self.sign_a, self.src_b, self.sign_b, eri_eff,
+            interpret=interpret,
+        )
+        with jax.default_matmul_precision("highest"):
+            sigma = sigma + self.apply_samespin_alpha(c) + self.apply_samespin_beta(c)
+        if self.spin_shift != 0.0:
+            n_a, n_b = self.nelec
+            sz = 0.5 * (n_a - n_b)
+            const = sz * sz + sz + n_b
+            sigma = sigma + self.spin_shift * (const - self.spin_target) * c
+        return sigma
 
     def _matvec_full(self, c: jax.Array) -> jax.Array:
         with jax.default_matmul_precision("highest"):
@@ -535,12 +667,6 @@ class SCIHamiltonian:
             return jax.lax.dynamic_update_slice(sigma, sig_blk, (0, i * cb))
 
         return jax.lax.fori_loop(0, nblk, pass2, jnp.zeros((m, n), dt))
-
-    def spin_square(self, c: jax.Array) -> jax.Array:
-        """``<c|S^2|c> / <c|c>``."""
-        d_a = self.gather_alpha(c)
-        s2c = self.s2_apply_from_alpha(d_a, c)
-        return jnp.vdot(c, s2c) / jnp.vdot(c, c)
 
 
 @partial(jax.jit, static_argnames=("row_block", "spin_penalty", "force_chunked"))
@@ -739,6 +865,16 @@ def build_sci_hamiltonian(
     strs_b = jnp.asarray(strs_b_packed)
     m, n = strs_a.shape[0], strs_b.shape[0]
     n_a, n_b = (int(x) for x in nelec)
+    # Validate Hamming weight against nelec BEFORE any table build: the native
+    # same-spin kernel sizes its occupied/virtual scratch from nelec, so a
+    # mismatched string set must fail loudly here, never downstream.
+    for name, packed, want in (("alpha", strs_a_packed, n_a), ("beta", strs_b_packed, n_b)):
+        counts = np.bitwise_count(np.asarray(packed, np.uint32)).sum(axis=-1)
+        if counts.size and not np.all(counts == want):
+            bad = int(counts[counts != want][0])
+            raise ValueError(
+                f"{name} CI strings have Hamming weight {bad}, expected nelec = {want}"
+            )
     h1e_d = jnp.asarray(h1e, dtype)
     eri_d = jnp.asarray(eri, dtype)
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from . import linktab
-from .hamiltonian import SCIHamiltonian
+from .hamiltonian import SCIBasis
 
 __all__ = [
     "rdm1s",
@@ -50,7 +50,7 @@ def _qp_perm(norb: int) -> np.ndarray:
 
 
 @jax.jit
-def _dm1s(ham: SCIHamiltonian, c: jax.Array):
+def _dm1s(ham: SCIBasis, c: jax.Array):
     """1-RDMs via row/column Gram matrices — O(M^2 N) flops, O(M^2) memory.
 
     ``dm1a[p,q] = sum_J sign_a[pq,J] * (c c^T)[src_a[pq,J], J]`` — the big
@@ -143,7 +143,7 @@ def _dm2ab_pair_gram_blocked(src_a, sign_a, src_b, sign_b, c, row_block: int):
 
 
 def make_rdms(
-    ham: SCIHamiltonian,
+    ham: SCIBasis,
     c: jax.Array,
     strs_a_packed: np.ndarray | None = None,
     strs_b_packed: np.ndarray | None = None,
@@ -240,21 +240,21 @@ def make_rdms(
     return out
 
 
-def rdm1s(ham: SCIHamiltonian, c: jax.Array):
+def rdm1s(ham: SCIBasis, c: jax.Array):
     r = make_rdms(ham, c, with_dm2=False)
     return r["dm1a"], r["dm1b"]
 
 
-def rdm1(ham: SCIHamiltonian, c: jax.Array):
+def rdm1(ham: SCIBasis, c: jax.Array):
     a, b = rdm1s(ham, c)
     return a + b
 
 
-def rdm2_spin_summed(ham: SCIHamiltonian, c: jax.Array, strs_a_packed, strs_b_packed):
+def rdm2_spin_summed(ham: SCIBasis, c: jax.Array, strs_a_packed, strs_b_packed):
     return make_rdms(ham, c, strs_a_packed, strs_b_packed)["dm2"]
 
 
-def rdm2s(ham: SCIHamiltonian, c: jax.Array, strs_a_packed, strs_b_packed):
+def rdm2s(ham: SCIBasis, c: jax.Array, strs_a_packed, strs_b_packed):
     r = make_rdms(ham, c, strs_a_packed, strs_b_packed, spin_resolved=True)
     return r["dm2aa"], r["dm2ab"], r["dm2bb"]
 

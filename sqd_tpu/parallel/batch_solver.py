@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops import bitpack, rdm as rdm_ops
 from ..ops.davidson import davidson_ground_state, davidson_initial_guess
-from ..ops.hamiltonian import build_sci_hamiltonian, sci_matvec_flat
+from ..ops.hamiltonian import build_sci_hamiltonian, expectation_value, sci_matvec_flat
 from .mesh import batch_sharding, default_mesh
 
 __all__ = ["solve_sci_batch_sharded"]
@@ -55,10 +55,12 @@ def _solve_one(ham32, ham64, tol: float, max_subspace: int, max_cycle: int):
     m, n = ham64.shape
     vec = res.vector.astype(jnp.float64)
     vec = vec / jnp.linalg.norm(vec)
-    # f64 Rayleigh quotient == energy-from-RDMs of the same vector, but needs
-    # no two-hole tables, so it vmaps/shards cleanly.
-    hv = sci_matvec_flat(ham64, vec)
-    energy = jnp.vdot(vec, hv)
+    # Final energy policy (mirrors solve_sci / the reference's
+    # energy-from-RDMs, fermion.py:509-524): the BARE Hamiltonian expectation
+    # — the spin penalty only steers the iteration — evaluated through the
+    # chunk-accumulated estimator, which is host-f64-exact on CPU and ~1e-8
+    # accurate on TPU where f64 dot_generals accumulate at f32 grade.
+    energy = expectation_value(ham64, vec, spin_penalty=False)
     # spin-resolved occupancies from the exact single-excitation gathers
     rdms = rdm_ops.make_rdms(ham64, vec.reshape(m, n), with_dm2=False)
     occ_a = jnp.diagonal(rdms["dm1a"])

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import bitpack, rdm as rdm_ops
 from ..ops.davidson import davidson_ground_state, davidson_initial_guess
-from ..ops.hamiltonian import build_sci_hamiltonian
+from ..ops.hamiltonian import build_sci_hamiltonian, expectation_value
 from .mesh import default_mesh
 
 __all__ = ["solve_sci_distributed"]
@@ -112,7 +112,7 @@ def _sharded_matvec_spin(op, x):
     return sigma + penalty.reshape(-1)
 
 
-def _solve_inside(op32, op64, hdiag, tol, max_subspace, max_cycle, mv=None):
+def _solve_inside(op32, hdiag, tol, max_subspace, max_cycle, mv=None):
     mv = mv or _sharded_matvec
     v0 = davidson_initial_guess(hdiag, hdiag.dtype)
     res = davidson_ground_state(
@@ -126,12 +126,11 @@ def _solve_inside(op32, op64, hdiag, tol, max_subspace, max_cycle, mv=None):
     )
     vec = res.vector.astype(jnp.float64)
     vec = vec / jnp.linalg.norm(vec)
-    # energy is always the BARE Hamiltonian expectation — the spin penalty
-    # only steers the iteration (same policy as the reference's
-    # energy-from-RDMs, fermion.py:509-524)
-    hv = _sharded_matvec(op64, vec)
-    energy = jnp.vdot(vec, hv)
-    return energy, vec, res.iterations, res.converged, res.residual_norm
+    # The final energy is computed OUTSIDE the shard_map by the caller via
+    # the chunk-accumulated expectation_value: a plain f64 matvec + vdot here
+    # would accumulate at f32 grade on TPU (no f64 MXU; ~3.4e-4 abs at 1e6
+    # dets) and miss the <1e-8 Ha target these large solves exist for.
+    return vec, res.iterations, res.converged, res.residual_norm
 
 
 def solve_sci_distributed(
@@ -224,18 +223,16 @@ def solve_sci_distributed(
     }
 
     op32 = op_dict(ham64, solver_dtype)
-    op64 = op_dict(ham64, jnp.float64)
     hdiag = ham64.hdiag.reshape(-1).astype(solver_dtype)
 
     def place(op):
         return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
 
     op32 = place(op32)
-    op64 = place(op64)
     hdiag = jax.device_put(hdiag, NamedSharding(mesh, P()))
 
     op_specs = {k: specs[k] for k in op32}
-    in_specs = (op_specs, op_specs, P())
+    in_specs = (op_specs, P())
     solve = jax.jit(
         jax.shard_map(
             partial(
@@ -247,12 +244,15 @@ def solve_sci_distributed(
             ),
             mesh=mesh,
             in_specs=in_specs,
-            out_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
     )
-    energy, vec, iters, converged, rnorm = solve(op32, op64, hdiag)
-    energy = float(energy)
+    vec, iters, converged, rnorm = solve(op32, hdiag)
+    # Bare-H energy (the spin penalty only steers the iteration; same policy
+    # as the reference's energy-from-RDMs, fermion.py:509-524), through the
+    # chunk-accumulated evaluator: host-f64-exact on CPU, ~1e-8 on TPU.
+    energy = float(expectation_value(ham64, jnp.asarray(vec)))
     amplitudes = np.asarray(vec).reshape(m, n)
 
     state = SCIState(

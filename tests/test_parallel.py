@@ -134,6 +134,35 @@ def test_distributed_spin_penalty_matches_local(system):
     assert abs(res_d.energy - res_s.energy) < 1e-7
 
 
+def test_sharded_batch_spin_penalty_energy_is_bare(system):
+    """spin_sq on the batch-sharded path must return penalty-FREE energies.
+
+    Regression: the batched solver used to evaluate <v|H'|v> with the fused
+    ``shift * (S^2 - ss)`` term still in the operator, biasing best-batch
+    selection.  Oracle: the dense penalized eigenvector's bare-H energy.
+    """
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(11)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    sel = np.sort(rng.choice(all_strs, size=14, replace=False))
+    shift, ss = 0.4, 0.0
+    h_dense = dense_fci.build_dense_hamiltonian(sel, sel, h1, eri)
+    s2_dense = dense_fci.build_dense_s2(sel, sel, norb)
+    _, vecs = np.linalg.eigh(h_dense + shift * s2_dense)
+    v0 = vecs[:, 0]
+    bare = float(v0 @ h_dense @ v0)
+    penalized = float(v0 @ (h_dense + shift * s2_dense) @ v0)
+    assert abs(bare - penalized) > 1e-3  # the two policies are distinguishable
+
+    par = solve_sci_batch_sharded(
+        [(sel, sel)] * 2, h1, eri, norb, nelec,
+        spin_sq=ss, shift=shift, pad_bucket=8, tol=1e-8,
+    )
+    for p in par:
+        assert abs(p.energy - bare) < 1e-6
+
+
 def test_orchestrator_with_sharded_solver(system):
     """The sci_solver seam accepts the sharded implementation end-to-end."""
     from sqd_tpu.primitives import BitArray
