@@ -33,11 +33,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cross_spin_matvec", "supports"]
+__all__ = ["cross_spin_matvec", "supports", "FORCE_INTERPRET"]
 
 _LANE = 128
 _ROWS = 8  # alpha rows per grid step (f32 sublane tile)
-_MAX_VMEM_BYTES = 10 * 1024 * 1024  # leave headroom in ~16 MB of VMEM
+_MAX_VMEM_BYTES = 12 * 1024 * 1024  # leave headroom in ~16 MB of VMEM
+
+# Test hook: when True, SCIHamiltonian.matvec dispatches here in interpret
+# mode even on CPU, so the dispatch path itself is exercised by the suite.
+FORCE_INTERPRET = False
+
+# Backends whose Pallas/Mosaic lowering targets real TPU hardware ("axon" is
+# this image's tunneled TPU PJRT platform).
+TPU_BACKENDS = ("tpu", "axon")
 
 
 def supports(m: int, n: int, npair: int, itemsize: int = 4) -> bool:
@@ -46,37 +54,68 @@ def supports(m: int, n: int, npair: int, itemsize: int = 4) -> bool:
         return False
     resident = (
         m * n * 4  # c (f32)
-        + 2 * npair * n * 4  # src_b + sign_b (i32 + f32)
+        + 3 * npair * n * 4  # lo_b + hi_b (i32) + sign_b (f32)
         + npair * npair * 4  # eri_t
-        + 3 * npair * n * 4  # d scratch + g + picked
+        + 3 * npair * n * 4  # scratch: d + g + tot
         + _ROWS * n * 4  # out tile
     )
     return resident <= _MAX_VMEM_BYTES
 
 
-def _kernel(src_a_ref, sign_a_ref, c_ref, src_b_ref, sign_b_ref, eri_ref,
-            out_ref, d_ref):
-    npair = d_ref.shape[0]
+def _kernel(src_a_ref, sign_a_ref, c_ref, lo_b_ref, hi_b_ref, sign_b_ref,
+            eri_ref, out_ref, d_ref, g_ref, tot_ref):
+    # alpha tables arrive TRANSPOSED — (_ROWS, npair) blocks — because Mosaic
+    # requires block tails divisible by (8, 128); the alpha sign is folded
+    # into the coefficient matrix columns (one lane-broadcast multiply)
+    # instead of scaling the gathered rows.
+    npair, n = d_ref.shape
+    # x64 may be enabled globally (the f64 energy paths need it) but Mosaic
+    # rejects 64-bit types — pin every loop counter/carry to int32.
+    i32 = jnp.int32
 
     def one_row(r, _):
         def gather_row(k, _):
-            d_ref[k, :] = c_ref[src_a_ref[k, r], :]
-            return 0
+            d_ref[k, :] = c_ref[src_a_ref[r, k], :]
+            return i32(0)
 
-        jax.lax.fori_loop(0, npair, gather_row, 0, unroll=8)
-        d = d_ref[:] * sign_a_ref[:, r][:, None]
-        g = jax.lax.dot_general(
-            eri_ref[:],
-            d,
+        jax.lax.fori_loop(i32(0), i32(npair), gather_row, i32(0), unroll=1)
+        eri_signed = eri_ref[:] * sign_a_ref[r, :][None, :]
+        g_ref[:] = jax.lax.dot_general(
+            eri_signed,
+            d_ref[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        picked = jnp.take_along_axis(g, src_b_ref[:], axis=1)
-        out_ref[r, :] = jnp.sum(picked * sign_b_ref[:], axis=0)
-        return 0
+        # Beta scatter: picked[rs, j] = g[rs, src_b[rs, j]].  Mosaic's lane
+        # gather (tpu.dynamic_gather) can neither cross the 128-lane vreg
+        # boundary on the source nor take indices shaped differently from the
+        # source, so run it as (output block x source block) 128x128 pairs
+        # with masked accumulation — a static Python double loop.  All column
+        # slicing happens on REFS: value slices at lane offsets past the
+        # first tile are "input offsets outside of the first tile" to Mosaic.
+        # The block decomposition (lo = src_b % 128, hi = src_b // 128) is
+        # row-invariant, so it is precomputed on the host and fed in — the
+        # inner pair is one compare + one gather + one select-accumulate.
+        nblk = n // _LANE
+        for t in range(nblk):
+            lo_t = lo_b_ref[:, t * _LANE : (t + 1) * _LANE]
+            hi_t = hi_b_ref[:, t * _LANE : (t + 1) * _LANE]
+            tot_t = jnp.zeros((npair, _LANE), jnp.float32)
+            for s in range(nblk):
+                part = jnp.take_along_axis(
+                    g_ref[:, s * _LANE : (s + 1) * _LANE], lo_t, axis=1
+                )
+                tot_t = jnp.where(hi_t == i32(s), part, tot_t)
+            tot_ref[:, t * _LANE : (t + 1) * _LANE] = tot_t
+        # single full-width dynamic-row store (column-sliced dynamic stores
+        # are "dynamic store with unaligned indices" to Mosaic, and lane-
+        # offset value concatenation is "input offsets outside of the first
+        # tile" — the picked values therefore stage through tot_ref)
+        out_ref[r, :] = jnp.sum(tot_ref[:] * sign_b_ref[:], axis=0)
+        return i32(0)
 
-    jax.lax.fori_loop(0, _ROWS, one_row, 0)
+    jax.lax.fori_loop(i32(0), i32(_ROWS), one_row, i32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -92,26 +131,40 @@ def cross_spin_matvec(c, src_a, sign_a, src_b, sign_b, eri_t, *,
     m, n = c.shape
     npair = src_a.shape[0]
     c32 = c.astype(jnp.float32)
+    # x64 canonicalization makes jnp.take_along_axis promote its indices to
+    # int64 inside the kernel, which Mosaic rejects; everything here is
+    # 32-bit by construction, so trace the kernel with x64 off.
+    with jax.enable_x64(False):
+        return _call(c32, src_a, sign_a, src_b, sign_b, eri_t, m, n, npair, interpret)
+
+
+def _call(c32, src_a, sign_a, src_b, sign_b, eri_t, m, n, npair, interpret):
     return pl.pallas_call(
         _kernel,
         grid=(m // _ROWS,),
         in_specs=[
-            pl.BlockSpec((npair, _ROWS), lambda i: (0, i), memory_space=pltpu.SMEM),
-            pl.BlockSpec((npair, _ROWS), lambda i: (0, i)),
+            pl.BlockSpec((_ROWS, npair), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, npair), lambda i: (i, 0)),
             pl.BlockSpec((m, n), lambda i: (0, 0)),
+            pl.BlockSpec((npair, n), lambda i: (0, 0)),
             pl.BlockSpec((npair, n), lambda i: (0, 0)),
             pl.BlockSpec((npair, n), lambda i: (0, 0)),
             pl.BlockSpec((npair, npair), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((_ROWS, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((npair, n), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((npair, n), jnp.float32),
+            pltpu.VMEM((npair, n), jnp.float32),
+            pltpu.VMEM((npair, n), jnp.float32),
+        ],
         interpret=interpret,
     )(
-        src_a.astype(jnp.int32),
-        sign_a.astype(jnp.float32),
+        src_a.T.astype(jnp.int32),
+        sign_a.T.astype(jnp.float32),
         c32,
-        src_b.astype(jnp.int32),
+        src_b.astype(jnp.int32) & (_LANE - 1),
+        src_b.astype(jnp.int32) >> 7,
         sign_b.astype(jnp.float32),
         eri_t.astype(jnp.float32),
     )
