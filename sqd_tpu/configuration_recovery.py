@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops import bitpack
+from .ops.sampling import rank_by_gumbel
 from .subsampling import post_select_by_hamming_weight  # re-export for API parity
 
 __all__ = ["post_select_by_hamming_weight", "recover_configurations"]
@@ -162,10 +163,7 @@ def _recover_kernel(bs_mat, occs_array, key, *, hamming_left: int, hamming_right
         over = n_diff > 0
         candidate = jnp.where(over[:, None], bits, ~bits) & (p > 0)
         logw = jnp.where(candidate, jnp.log(jnp.where(candidate, p, 1.0)), -jnp.inf)
-        g = jax.random.gumbel(subkey, logw.shape, dtype=logw.dtype)
-        scores = jnp.where(candidate, logw + g, -jnp.inf)
-        order = jnp.argsort(-scores, axis=1)
-        ranks = jnp.argsort(order, axis=1)
+        ranks, _ = rank_by_gumbel(subkey, logw)
         k = jnp.abs(n_diff)[:, None]
         flip = candidate & (ranks < k) & any_p[:, None] & (n_diff != 0)[:, None]
         return bits ^ flip

@@ -2,30 +2,40 @@
 """Postselection and batch subsampling of bitstring matrices.
 
 TPU-native re-implementation of reference L1 (``qiskit_addon_sqd/subsampling.py``).
-The public surface is identical.  :func:`subsample` additionally offers a
-device-side Gumbel-top-k implementation of weighted sampling without
-replacement (:mod:`sqd_tpu.ops.sampling`) used by the on-device pipeline; the
-default host path mirrors the reference's ``rng.choice`` semantics.
+The public surface is identical.  :func:`subsample` mirrors the reference's
+host ``rng.choice`` semantics exactly (the orchestrator's bit-for-bit seeded
+determinism rests on it); :func:`subsample_device` draws all batches at once
+on device via Gumbel-top-k (:mod:`sqd_tpu.ops.sampling`) — same distribution,
+different (device-PRNG) stream.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .utils.deprecation import deprecate_func
+
 __all__ = [
     "postselect_and_subsample",
     "postselect_by_hamming_right_and_left",
     "subsample",
+    "subsample_device",
 ]
 
 
+@deprecate_func(
+    since="0.12.0",
+    package_name="sqd-tpu",
+    removal_timeline="no earlier than v0.13.0",
+    additional_msg=("Instead, use the ``postselect_by_hamming_right_and_left`` function."),
+)
 def post_select_by_hamming_weight(
     bitstring_matrix: np.ndarray, *, hamming_right: int, hamming_left: int
 ) -> np.ndarray:
     """Mask of rows whose halves have the target Hamming weights.
 
-    Deprecated in the reference since 0.12 (``configuration_recovery.py:26-56``);
-    kept for API parity.
+    Deprecated since 0.12, matching the reference's warning contract
+    (``configuration_recovery.py:26-56``); kept for API parity.
     """
     if hamming_left < 0 or hamming_right < 0:
         raise ValueError("Hamming weights must be non-negative integers.")
@@ -115,6 +125,57 @@ def subsample(
     return batches
 
 
+def subsample_device(
+    bitstring_matrix: np.ndarray,
+    probabilities: np.ndarray,
+    samples_per_batch: int,
+    num_batches: int,
+    key,
+) -> list[np.ndarray]:
+    """All batches drawn at once on device (Gumbel-top-k, no host loop).
+
+    Same distribution as :func:`subsample` — ``num_batches`` independent
+    weighted samples of ``samples_per_batch`` rows without replacement within
+    a batch (:mod:`sqd_tpu.ops.sampling`) — but a different random stream
+    (``jax.random`` key instead of the host generator), so it is a separate
+    entry point rather than a flag on :func:`subsample`, whose bit-for-bit
+    host-RNG parity the orchestrator's determinism contract depends on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.sampling import gumbel_topk_indices
+
+    if bitstring_matrix.shape[0] < 1:
+        return [np.array([])] * num_batches
+    if len(probabilities) != bitstring_matrix.shape[0]:
+        raise ValueError(
+            "The number of elements in the probabilities array must match the "
+            "number of rows in the bitstring matrix."
+        )
+    if samples_per_batch < 1:
+        raise ValueError("Samples per batch must be specified with a positive integer.")
+    if num_batches < 1:
+        raise ValueError("The number of batches must be specified with a positive integer.")
+    if samples_per_batch >= bitstring_matrix.shape[0]:
+        return [bitstring_matrix.copy() for _ in range(num_batches)]
+
+    p = jnp.asarray(probabilities, jnp.float32)
+    logw = jnp.where(p > 0, jnp.log(jnp.where(p > 0, p, 1.0)), -jnp.inf)
+    keys = jax.random.split(key, num_batches)
+    idx = jax.vmap(lambda k: gumbel_topk_indices(k, logw, samples_per_batch))(keys)
+    idx = np.asarray(idx)
+    return [bitstring_matrix[idx[b]] for b in range(num_batches)]
+
+
+@deprecate_func(
+    since="0.12.0",
+    package_name="sqd-tpu",
+    removal_timeline="no earlier than v0.13.0",
+    additional_msg=(
+        "Instead, use the ``postselect_by_hamming_right_and_left`` and ``subsample`` functions."
+    ),
+)
 def postselect_and_subsample(
     bitstring_matrix: np.ndarray,
     probabilities: np.ndarray,

@@ -101,16 +101,75 @@ def test_postselect_and_subsample_deprecated_combo():
     rng = np.random.default_rng(0)
     mat = _random_bs(rng, 200, bits=8)
     probs = np.ones(len(mat)) / len(mat)
-    batches = subsampling.postselect_and_subsample(
-        mat,
-        probs,
-        hamming_right=2,
-        hamming_left=2,
-        samples_per_batch=3,
-        num_batches=2,
-        rand_seed=0,
-    )
+    with pytest.warns(DeprecationWarning, match="postselect_and_subsample"):
+        batches = subsampling.postselect_and_subsample(
+            mat,
+            probs,
+            hamming_right=2,
+            hamming_left=2,
+            samples_per_batch=3,
+            num_batches=2,
+            rand_seed=0,
+        )
     assert len(batches) == 2
     for b in batches:
         for row in b:
             assert row[4:].sum() == 2 and row[:4].sum() == 2
+
+
+def test_post_select_by_hamming_weight_warns():
+    """Warning parity with the reference's 0.12 deprecations
+    (``subsampling.py:24-31``, ``configuration_recovery.py:26-31``)."""
+    rng = np.random.default_rng(0)
+    mat = _random_bs(rng, 50, bits=8)
+    with pytest.warns(DeprecationWarning, match="post_select_by_hamming_weight"):
+        mask = subsampling.post_select_by_hamming_weight(
+            mat, hamming_right=2, hamming_left=2
+        )
+    assert mask.dtype == bool and len(mask) == len(mat)
+
+
+def test_subsample_device_matches_host_semantics():
+    """Device Gumbel-top-k path: same shapes/membership/degenerate cases."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    mat = np.unique(_random_bs(rng, 80), axis=0)
+    probs = rng.random(len(mat))
+    probs /= probs.sum()
+    key = jax.random.key(7)
+    batches = subsampling.subsample_device(mat, probs, 9, 4, key)
+    assert len(batches) == 4
+    pool = {tuple(r) for r in mat}
+    for b in batches:
+        assert b.shape == (9, mat.shape[1])
+        rows = [tuple(r) for r in b]
+        assert len(set(rows)) == 9  # without replacement within a batch
+        assert set(rows) <= pool
+    # identity-copy degenerate case (reference subsampling.py:193-196)
+    ident = subsampling.subsample_device(mat, probs, len(mat) + 1, 2, key)
+    for b in ident:
+        np.testing.assert_array_equal(b, mat)
+    # zero-probability rows are never drawn
+    probs2 = probs.copy()
+    probs2[:5] = 0.0
+    probs2 /= probs2.sum()
+    batches2 = subsampling.subsample_device(mat, probs2, 9, 8, key)
+    banned = {tuple(r) for r in mat[:5]}
+    for b in batches2:
+        assert not ({tuple(r) for r in b} & banned)
+
+
+def test_subsample_device_errors():
+    import jax
+
+    rng = np.random.default_rng(6)
+    mat = np.unique(_random_bs(rng, 30), axis=0)
+    probs = np.ones(len(mat)) / len(mat)
+    key = jax.random.key(0)
+    with pytest.raises(ValueError, match="number of elements"):
+        subsampling.subsample_device(mat, probs[:-1], 2, 2, key)
+    with pytest.raises(ValueError, match="Samples per batch"):
+        subsampling.subsample_device(mat, probs, 0, 2, key)
+    with pytest.raises(ValueError, match="number of batches"):
+        subsampling.subsample_device(mat, probs, 2, 0, key)
