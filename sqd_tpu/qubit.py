@@ -73,18 +73,34 @@ def matrix_elements_from_pauli(
     packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
     zw, xw = pauli_masks_to_packed(np.asarray(pauli.z), np.asarray(pauli.x))
     d = len(packed_h)
+    w = packed_h.shape[1]
+    n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
+    phase = 1j**n_y
 
     from . import native
+
+    def _sign(packed) -> np.ndarray:
+        masked = packed & zw[None, :w]
+        zcount = native.popcount_rows(masked)  # C++ popcount (NumPy fallback)
+        return (1 - 2 * (zcount & 1)).astype(np.int8)
+
+    if not np.asarray(xw[:w]).any():
+        # DIAGONAL term (no X/Y component): every string connects to itself
+        # — membership search is algebraically pointless (the reference runs
+        # its full sorted isin even here; this is the benchmark's Z^40 case).
+        sign = _sign(packed_h)
+        amplitudes = phase * sign.astype(np.complex128)
+        rows = np.arange(d, dtype=np.int64)
+        return amplitudes, rows, rows.copy()
 
     # host radix-merge wins at small/medium d (no device sync); the device
     # sort-rank kernel wins at large d (the host here may be few-core)
     col = native.connected_membership(packed_h, xw) if d <= 2_000_000 else None
     if col is not None:
         # host path: radix-merge membership (cache-friendly; the reference's
-        # CPU np.isin(kind="sort") analog but ~4x faster) + numpy popcount sign
+        # CPU np.isin(kind="sort") analog but ~4x faster) + native popcount
         keep = col >= 0
-        zcount = np.bitwise_count(packed_h & zw[None, : packed_h.shape[1]]).sum(axis=1)
-        sign = 1 - 2 * (zcount.astype(np.int64) & 1)
+        sign = _sign(packed_h)
     else:
         from .ops.pauli_proj import connected_table_rank
 
@@ -94,10 +110,9 @@ def matrix_elements_from_pauli(
         col = np.asarray(col_d).astype(np.int64)
         sign = np.asarray(sign_d)
         keep = col < d
-    n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
-    amplitudes = (1j**n_y) * sign[keep].astype(np.complex128)
-    rows = np.arange(d)[keep]
-    cols = col[keep].astype(np.int64)
+    rows = np.flatnonzero(keep)
+    cols = col[rows].astype(np.int64)
+    amplitudes = phase * sign[rows].astype(np.complex128)
     return amplitudes, rows, cols
 
 
