@@ -289,7 +289,7 @@ def solve_sci(
     max_subspace: int = 24,
     max_cycle: int = 200,
     pad_bucket: int = 32,
-    refine_iterations: int = 0,
+    refine_iterations: int | None = None,
     **kwargs,
 ) -> SCIResult:
     """Diagonalize the Hamiltonian in the subspace spanned by the CI strings.
@@ -318,6 +318,11 @@ def solve_sci(
             working-dtype solution — drives the residual (and hence the
             second-order energy error) below the f32 floor when the solve ran
             in f32; irrelevant when ``solver_dtype`` is already f64.
+            ``None`` (default) resolves to 6 for f32 solves and 0 for f64:
+            an f32-converged vector's occupancies carry noise above the
+            orchestrator's default ``occupancies_tol = 1e-5`` at >=1e5
+            determinants (first-order in the residual), so the default must
+            not allow false convergence; pass 0 explicitly to opt out.
         **kwargs: ignored extras for signature compatibility.
 
     Returns:
@@ -331,6 +336,8 @@ def solve_sci(
     dim = m * n
     if solver_dtype is None:
         solver_dtype = jnp.float64 if dim <= 200_000 else jnp.float32
+    if refine_iterations is None:
+        refine_iterations = 0 if jnp.dtype(solver_dtype) == jnp.float64 else 6
 
     pad_to = None
     if pad_bucket:

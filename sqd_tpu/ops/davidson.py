@@ -173,7 +173,9 @@ def _masked_eigh_min(t: jax.Array, m: jax.Array):
     return vals[0], vecs[:, 0]
 
 
-@partial(jax.jit, static_argnames=("matvec", "max_subspace", "max_iterations"))
+@partial(
+    jax.jit, static_argnames=("matvec", "max_subspace", "max_iterations", "axis_name")
+)
 def davidson_ground_state(
     matvec: Callable,
     operator,
@@ -183,6 +185,7 @@ def davidson_ground_state(
     tol: float = 1e-5,
     max_subspace: int = 24,
     max_iterations: int = 200,
+    axis_name: str | None = None,
 ) -> DavidsonResult:
     """Find the lowest eigenpair of the implicit symmetric operator.
 
@@ -199,6 +202,12 @@ def davidson_ground_state(
         tol: residual-norm convergence threshold.
         max_subspace: Krylov buffer rows (static).
         max_iterations: matvec budget (static).
+        axis_name: when set (inside ``shard_map``), vectors are the LOCAL
+            shard of a dimension distributed over this mesh axis: every inner
+            product / norm / Gram entry is completed with a ``lax.psum`` and
+            the Krylov workspace stays sharded — this is what scales one
+            solve's memory across chips (the matvec must consume/produce the
+            same local shard layout).
     """
     # TPU f32 matmuls default to fast bf16 MXU passes (~1e-3 relative error)
     # — fatal for Gram-Schmidt and the Rayleigh-Ritz Gram matrix. Force true
@@ -207,24 +216,37 @@ def davidson_ground_state(
         return _davidson_inner(
             matvec, operator, hdiag, v0,
             tol=tol, max_subspace=max_subspace, max_iterations=max_iterations,
+            axis_name=axis_name,
         )
 
 
 def _davidson_inner(
-    matvec, operator, hdiag, v0, *, tol, max_subspace, max_iterations
+    matvec, operator, hdiag, v0, *, tol, max_subspace, max_iterations, axis_name=None
 ) -> DavidsonResult:
     dim = hdiag.shape[0]
     dt = v0.dtype
     mss = max_subspace
     eps = float(jnp.finfo(dt).tiny) ** 0.5  # real scalar also for complex dt
 
-    v0 = v0 / jnp.linalg.norm(v0)
+    if axis_name is None:
+        _allsum = lambda x: x  # noqa: E731
+    else:
+        _allsum = partial(jax.lax.psum, axis_name=axis_name)
+
+    def _vdot(a, b):
+        return _allsum(jnp.vdot(a, b))
+
+    def _norm(a):
+        return jnp.sqrt(jnp.real(_allsum(jnp.vdot(a, a))))
+
+    v0 = v0 / _norm(v0)
     w0 = matvec(operator, v0)
     v_buf = jnp.zeros((mss, dim), dt).at[0].set(v0)
     w_buf = jnp.zeros((mss, dim), dt).at[0].set(w0)
-    t_buf = jnp.zeros((mss, mss), dt).at[0, 0].set(jnp.vdot(v0, w0))
+    t_buf = jnp.zeros((mss, mss), dt).at[0, 0].set(_vdot(v0, w0))
     theta0 = jnp.real(t_buf[0, 0]).astype(jnp.finfo(dt).dtype)
     r0 = w0 - theta0 * v0
+    rnorm0 = _norm(r0)
     state = _State(
         v=v_buf,
         w=w_buf,
@@ -233,9 +255,9 @@ def _davidson_inner(
         theta=theta0,
         u=v0,
         hu=w0,
-        rnorm=jnp.linalg.norm(r0),
+        rnorm=rnorm0,
         it=jnp.asarray(0),
-        done=jnp.linalg.norm(r0) < tol,
+        done=rnorm0 < tol,
     )
 
     def precondition(r, theta):
@@ -257,16 +279,16 @@ def _davidson_inner(
         """Two rounds of masked classical Gram-Schmidt; returns (vec, norm)."""
         active = (jnp.arange(mss) < m).astype(dt)
         for _ in range(2):
-            coeffs = (v.conj() @ t_vec) * active
+            coeffs = _allsum(v.conj() @ t_vec) * active
             t_vec = t_vec - v.T @ coeffs
-        nrm = jnp.linalg.norm(t_vec)
+        nrm = _norm(t_vec)
         return t_vec / jnp.maximum(nrm, eps), nrm
 
     def body(s: _State) -> _State:
         # residual of current best Ritz pair, preconditioned -> new direction
         r = s.hu - s.theta * s.u
         pre = precondition(r, s.theta)
-        pre_norm = jnp.linalg.norm(pre)
+        pre_norm = _norm(pre)
         t_pre, nrm_pre = orthonormalize(pre, s.v, s.m)
         # The clamped preconditioner can produce a spike that lies (almost)
         # inside the current subspace; after Gram-Schmidt the leftover is then
@@ -308,14 +330,14 @@ def _davidson_inner(
             w_new = matvec(operator, t_ortho)
             v = s.v.at[s.m].set(t_ortho)
             w = s.w.at[s.m].set(w_new)
-            col = (v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
+            col = _allsum(v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
             t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
             m = s.m + 1
 
             theta, y = _masked_eigh_min(t, m)
             u = y @ v
             hu = y @ w
-            rnorm = jnp.linalg.norm(hu - theta * u)
+            rnorm = _norm(hu - theta * u)
             return _State(
                 v=v,
                 w=w,
@@ -335,7 +357,7 @@ def _davidson_inner(
         return (~s.done) & (s.it < max_iterations)
 
     final = jax.lax.while_loop(cond, body, state)
-    u = final.u / jnp.linalg.norm(final.u)
+    u = final.u / _norm(final.u)
     return DavidsonResult(
         theta=final.theta,
         vector=u,

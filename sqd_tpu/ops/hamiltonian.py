@@ -718,6 +718,26 @@ def expectation_value(
     c32 = c.astype(jnp.float32).reshape(m, n)
     HI = jax.lax.Precision.HIGHEST
 
+    # H's ENTIRE diagonal is evaluated exactly instead: hdiag is f64-exact
+    # from the build, and sum(hdiag * c^2) is elementwise f64 (software-exact
+    # on TPU).  The diagonal carries the large non-cancelling magnitudes
+    # (|diag| ~ |E|), so leaving it in the f32-chunked channels costs
+    # ~eps_f32 * |E| (measured 4e-6 abs at |E| ~ 100 on the bench problem);
+    # excluding it leaves the off-diagonal channels, whose contributions are
+    # small and sign-mixed, for the f32 matmuls.  Exclusions: the same-spin
+    # self-neighbors (candidate 0) and the cross-spin (pp, qq) pair block.
+    e_dd = jnp.sum(ham.hdiag.astype(f64) * c32.astype(f64) ** 2)
+    nbr_val_a_od = jnp.where(
+        ham.nbr_idx_a == jnp.arange(m, dtype=ham.nbr_idx_a.dtype)[:, None],
+        0.0,
+        ham.nbr_val_a.astype(f64),
+    )
+    nbr_val_b_od = jnp.where(
+        ham.nbr_idx_b == jnp.arange(n, dtype=ham.nbr_idx_b.dtype)[:, None],
+        0.0,
+        ham.nbr_val_b.astype(f64),
+    )
+
     m_pad = -(-m // row_block) * row_block
     pad = ((0, 0), (0, m_pad - m))
     src_a = jnp.pad(ham.src_a, pad)
@@ -725,7 +745,7 @@ def expectation_value(
     sign_b32 = ham.sign_b.astype(jnp.float32)
     c_p = jnp.pad(c32, ((0, m_pad - m), (0, 0)))
     nbr_idx_a = jnp.pad(ham.nbr_idx_a, ((0, m_pad - m), (0, 0)))
-    nbr_val_a = jnp.pad(ham.nbr_val_a, ((0, m_pad - m), (0, 0))).astype(f64)
+    nbr_val_a = jnp.pad(nbr_val_a_od, ((0, m_pad - m), (0, 0)))
     la = nbr_idx_a.shape[1]
 
     def body(b, carry):
@@ -756,7 +776,14 @@ def expectation_value(
         0, m_pad // row_block, body,
         (jnp.zeros((npair, npair), f64), jnp.zeros((), f64)),
     )
-    e = jnp.sum(ham.eri_t.astype(f64) * pab.T) + e_ss_a
+    eri64 = ham.eri_t.astype(f64)
+    e = jnp.sum(eri64 * pab.T) + e_ss_a + e_dd
+    # subtract the cross-spin (pp, qq) pair block AS COMPUTED in f32 — its
+    # exact value is hdiag's cross part, already inside e_dd
+    pp = jnp.arange(ham.norb) * (ham.norb + 1)
+    diag_block = pab[jnp.ix_(pp, pp)]  # [p, q] = <E^a_pp c, E^b_qq c>
+    e2 = eri64[jnp.ix_(pp, pp)]  # [q, p] = (pp|qq)
+    e = e - jnp.sum(e2.T * diag_block)
 
     # same-spin beta: column-blocked row dots on the transposed amplitudes
     ct = c32.T  # (n, m)
@@ -764,7 +791,7 @@ def expectation_value(
     n_pad = -(-n // row_block) * row_block
     ct_p = jnp.pad(ct, ((0, n_pad - n), (0, 0)))
     nbr_idx_b = jnp.pad(ham.nbr_idx_b, ((0, n_pad - n), (0, 0)))
-    nbr_val_b = jnp.pad(ham.nbr_val_b, ((0, n_pad - n), (0, 0))).astype(f64)
+    nbr_val_b = jnp.pad(nbr_val_b_od, ((0, n_pad - n), (0, 0)))
 
     def body_b(b, e_acc):
         k0 = b * row_block
@@ -816,21 +843,33 @@ def sci_matvec_flat(ham: SCIHamiltonian, x: jax.Array) -> jax.Array:
     return ham.matvec(x.reshape(m, n)).reshape(-1)
 
 
-def _hdiag(occ_a, occ_b, h1e, eri, dtype):
-    """Diagonal ``<Ia Ib|H|Ia Ib>`` from occupation-number matrices (all matmuls).
+def _occupancy_np(packed: np.ndarray, norb: int) -> np.ndarray:
+    """Host (N, norb) 0/1 occupation matrix from packed uint32 strings."""
+    packed = np.asarray(packed, np.uint32)
+    out = np.empty((packed.shape[0], norb), np.float64)
+    for p in range(norb):
+        out[:, p] = (packed[:, p // 32] >> (p % 32)) & 1
+    return out
 
-    Precision-pinned: see the note in :func:`_samespin_candidates`."""
-    with jax.default_matmul_precision("highest"):
-        hd = jnp.diagonal(h1e)
-        jm = jnp.einsum("ppqq->pq", eri)
-        km = jnp.einsum("pqqp->pq", eri)
-        oa = occ_a.astype(dtype)
-        ob = occ_b.astype(dtype)
-        jk = jm - km
-        a_part = oa @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", oa, jk, oa)
-        b_part = ob @ hd + 0.5 * jnp.einsum("ip,pq,iq->i", ob, jk, ob)
-        cross = oa @ jm @ ob.T
-        return a_part[:, None] + b_part[None, :] + cross
+
+def _hdiag_np(occ_a, occ_b, h1e, eri) -> np.ndarray:
+    """Diagonal ``<Ia Ib|H|Ia Ib>`` on the HOST in true f64.
+
+    The diagonal must be EXACT: :func:`expectation_value` evaluates the full
+    diagonal contribution through it (elementwise f64), and on TPU a device
+    "f64" matmul accumulates at f32 grade — 1e-5-scale noise on entries of
+    magnitude |E|.  NumPy work is O((M+N) * norb^2) + an (M, N) outer sum.
+    """
+    h1e = np.asarray(h1e, np.float64)
+    eri = np.asarray(eri, np.float64)
+    hd = np.diagonal(h1e)
+    jm = np.einsum("ppqq->pq", eri)
+    km = np.einsum("pqqp->pq", eri)
+    jk = jm - km
+    a_part = occ_a @ hd + 0.5 * np.einsum("ip,pq,iq->i", occ_a, jk, occ_a)
+    b_part = occ_b @ hd + 0.5 * np.einsum("ip,pq,iq->i", occ_b, jk, occ_b)
+    cross = occ_a @ jm @ occ_b.T
+    return a_part[:, None] + b_part[None, :] + cross
 
 
 def build_sci_hamiltonian(
@@ -910,9 +949,9 @@ def build_sci_hamiltonian(
         src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
         nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
         nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
-    occ_a = linktab.occupancy_matrix(strs_a, norb)
-    occ_b = linktab.occupancy_matrix(strs_b, norb)
-    hd = _hdiag(occ_a, occ_b, h1e_d, eri_d, dtype)
+    occ_a_h = _occupancy_np(np.asarray(strs_a_packed, np.uint32), norb)
+    occ_b_h = _occupancy_np(np.asarray(strs_b_packed, np.uint32), norb)
+    hd = jnp.asarray(_hdiag_np(occ_a_h, occ_b_h, h1e, eri), dtype)
 
     # --- choose the beta-column block size for the cross-spin channel -------
     npair = norb * norb

@@ -134,6 +134,52 @@ def test_distributed_spin_penalty_matches_local(system):
     assert abs(res_d.energy - res_s.energy) < 1e-7
 
 
+def test_rowsharded_solve_matches_local(system):
+    """Determinant-axis (alpha-row) sharded solve == single-device solve.
+
+    The Krylov workspace and amplitude grid are sharded over the mesh; every
+    Davidson reduction is psum-completed (SURVEY.md §7 step 7).
+    """
+    from sqd_tpu.parallel.row_sharded import solve_sci_rowsharded
+
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(21)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    # deliberately NOT a multiple of 8 devices (exercises row padding)
+    sel_a = np.sort(rng.choice(all_strs, 13, replace=False))
+    sel_b = np.sort(rng.choice(all_strs, 11, replace=False))
+    res_r = solve_sci_rowsharded(
+        (sel_a, sel_b), h1, eri, norb, nelec, tol=1e-8, solver_dtype=np.float64
+    )
+    res_s = fermion.solve_sci((sel_a, sel_b), h1, eri, norb=norb, nelec=nelec)
+    assert abs(res_r.energy - res_s.energy) < 1e-9
+    np.testing.assert_allclose(
+        np.ravel(res_r.orbital_occupancies), np.ravel(res_s.orbital_occupancies),
+        atol=1e-6,
+    )
+    # amplitudes match up to global sign
+    a, b = res_r.sci_state.amplitudes, res_s.sci_state.amplitudes
+    sgn = np.sign(np.vdot(a.ravel(), b.ravel()))
+    np.testing.assert_allclose(a * sgn, b, atol=1e-5)
+
+
+def test_rowsharded_spin_penalty_matches_local(system):
+    from sqd_tpu.parallel.row_sharded import solve_sci_rowsharded
+
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(23)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    sel = np.sort(rng.choice(all_strs, 14, replace=False))
+    kw = dict(spin_sq=0.0, shift=0.4)
+    res_r = solve_sci_rowsharded(
+        (sel, sel), h1, eri, norb, nelec, tol=1e-8, solver_dtype=np.float64, **kw
+    )
+    res_s = fermion.solve_sci((sel, sel), h1, eri, norb=norb, nelec=nelec, **kw)
+    assert abs(res_r.energy - res_s.energy) < 1e-7
+
+
 def test_sharded_batch_spin_penalty_energy_is_bare(system):
     """spin_sq on the batch-sharded path must return penalty-FREE energies.
 
