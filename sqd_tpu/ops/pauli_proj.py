@@ -96,27 +96,55 @@ def connected_table_rank(sorted_packed, z_words, x_words):
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class ProjectedPauliOperator:
-    """Matrix-free projected Pauli-sum over a sorted bitstring subspace."""
+    """Matrix-free projected Pauli-sum over a sorted bitstring subspace.
+
+    Complex coefficients are stored SPLIT (``coeff_re``/``coeff_im``): the
+    axon TPU runtime supports no complex dtype anywhere (device_put of a
+    complex array hangs the tunnel; device complex math is UNIMPLEMENTED).
+    When any term has an imaginary effective coefficient, the operator acts
+    on the REAL EMBEDDING of the complex Hermitian matrix ``H = A + iB``:
+    vectors are ``[v_re; v_im]`` of length ``2d`` and
+    ``H_embed = [[A, -B], [B, A]]`` (symmetric; every eigenvalue of H
+    doubled), so the whole eigensolve runs in f64 real arithmetic.
+    """
 
     perm: jax.Array  # (T, d) int32 — connected-state index per row, sentinel d
     sign: jax.Array  # (T, d) int8 — (-1)^(b & z) per row, 0 where absent
-    coeff: jax.Array  # (T,) complex — term coefficient * i^{#Y}
+    coeff_re: jax.Array  # (T,) f64 — Re(term coefficient * i^{#Y})
+    coeff_im: jax.Array  # (T,) f64 — Im(term coefficient * i^{#Y})
     hdiag: jax.Array  # (d,) — real diagonal (for preconditioning)
+    is_complex: bool = False  # static: any nonzero coeff_im
 
     def tree_flatten(self):
-        return (self.perm, self.sign, self.coeff, self.hdiag), ()
+        children = (self.perm, self.sign, self.coeff_re, self.coeff_im, self.hdiag)
+        return children, (self.is_complex,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, is_complex=aux[0])
 
     @property
     def dim(self) -> int:
         return self.perm.shape[1]
 
     @property
+    def embedded_dim(self) -> int:
+        """Length of the vectors :meth:`matvec` acts on."""
+        return 2 * self.dim if self.is_complex else self.dim
+
+    @property
     def shape(self) -> tuple[int, int]:
         return (self.dim, self.dim)
+
+    @property
+    def coeff(self) -> np.ndarray:
+        """Host-side complex view of the coefficients (convenience)."""
+        return np.asarray(self.coeff_re) + 1j * np.asarray(self.coeff_im)
+
+    def _apply(self, v: jax.Array, weights: jax.Array) -> jax.Array:
+        v_pad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        picked = v_pad[self.perm]  # (T, d)
+        return jnp.sum(weights * picked, axis=0)
 
     def matvec(self, v: jax.Array) -> jax.Array:
         """``H v`` via per-term gathers.
@@ -124,12 +152,20 @@ class ProjectedPauliOperator:
         Convention matches the reference projection (``qubit.py:167-240``):
         ``A[row, col] = amp(row)`` with ``col`` the connected index, i.e.
         ``(H v)[row] = sum_t c_t a_t(row) v[col_t(row)]``.
+
+        For a complex operator ``v`` is the stacked real embedding
+        ``[v_re; v_im]`` (length ``2d``).
         """
         dt = v.dtype
-        v_pad = jnp.concatenate([v, jnp.zeros((1,), dt)])
-        picked = v_pad[self.perm]  # (T, d)
-        weights = self.coeff.astype(dt)[:, None] * self.sign.astype(dt)
-        return jnp.sum(weights * picked, axis=0)
+        w_re = self.coeff_re.astype(dt)[:, None] * self.sign.astype(dt)
+        if not self.is_complex:
+            return self._apply(v, w_re)
+        d = self.dim
+        w_im = self.coeff_im.astype(dt)[:, None] * self.sign.astype(dt)
+        vr, vi = v[:d], v[d:]
+        out_r = self._apply(vr, w_re) - self._apply(vi, w_im)
+        out_i = self._apply(vr, w_im) + self._apply(vi, w_re)
+        return jnp.concatenate([out_r, out_i])
 
 
 def pauli_apply_flat(op: ProjectedPauliOperator, v: jax.Array) -> jax.Array:
@@ -183,10 +219,17 @@ def build_projected_operator(sorted_packed: np.ndarray, paulis, coeffs) -> Proje
         perm, sign = _connected_tables_batched(
             sp, jnp.asarray(np.stack(zws)), jnp.asarray(np.stack(xws))
         )
-    coeff = jnp.asarray(np.array(cs, dtype=np.complex128))
+    cs_arr = np.array(cs, dtype=np.complex128)
+    # complex dtypes never cross the tunnel (axon limitation): transfer the
+    # real and imaginary parts as separate f64 arrays
+    coeff_re = jnp.asarray(np.ascontiguousarray(cs_arr.real))
+    coeff_im = jnp.asarray(np.ascontiguousarray(cs_arr.imag))
+    is_complex = bool(np.any(cs_arr.imag != 0.0))
     rows = jnp.arange(d, dtype=jnp.int32)
     diag_mask = (perm == rows[None, :]).astype(jnp.float64)
-    hdiag = jnp.real(
-        jnp.sum(coeff[:, None] * sign.astype(jnp.complex128) * diag_mask, axis=0)
+    # a Hermitian diagonal is real: only Re(coeff) contributes
+    hdiag = jnp.sum(coeff_re[:, None] * sign.astype(jnp.float64) * diag_mask, axis=0)
+    return ProjectedPauliOperator(
+        perm=perm, sign=sign, coeff_re=coeff_re, coeff_im=coeff_im,
+        hdiag=hdiag, is_complex=is_complex,
     )
-    return ProjectedPauliOperator(perm=perm, sign=sign, coeff=coeff, hdiag=hdiag)

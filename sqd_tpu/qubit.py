@@ -183,21 +183,32 @@ def solve_qubit_device(
     bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
     packed = bitpack.pack_bool_matrix(bitstring_matrix)
     op = build_projected_operator(packed, hamiltonian.paulis, hamiltonian.coeffs)
-    if dtype is None:
-        # real arithmetic suffices iff every term's coefficient*i^{#Y} is real
-        dtype = jnp.float64 if bool(np.all(np.abs(np.imag(np.asarray(op.coeff))) < 1e-300)) else jnp.complex128
-    import dataclasses
-
-    if not jnp.issubdtype(dtype, jnp.complexfloating):
-        op = dataclasses.replace(op, coeff=jnp.real(op.coeff).astype(dtype))
-    v0 = davidson_initial_guess(op.hdiag, dtype)
+    # Everything runs in REAL f64 arithmetic: complex operators act on the
+    # stacked real embedding [v_re; v_im] (no complex dtype exists on the
+    # axon TPU runtime — see ProjectedPauliOperator).  ``dtype`` is accepted
+    # for backward compatibility; complex requests map to the embedding.
+    work_dtype = jnp.float64
+    if dtype is not None and not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        work_dtype = jnp.dtype(dtype)
+    hd = op.hdiag
+    if op.is_complex:
+        hd = jnp.concatenate([hd, hd])  # embedded diagonal (Im(diag) = 0)
+    hd = hd.astype(work_dtype)
+    v0 = davidson_initial_guess(hd, work_dtype)
     res = davidson_ground_state(
         pauli_apply_flat,
         op,
-        op.hdiag,
+        hd,
         v0,
         tol=tol,
         max_subspace=max_subspace,
         max_iterations=max_iterations,
     )
-    return float(res.theta), np.asarray(res.vector), op
+    vec = np.asarray(res.vector)
+    if op.is_complex:
+        d = op.dim
+        vec = vec[:d] + 1j * vec[d:]
+        nrm = np.linalg.norm(vec)
+        if nrm > 0:
+            vec = vec / nrm
+    return float(res.theta), vec, op
