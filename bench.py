@@ -265,12 +265,47 @@ def main():
             amps, rows, cols = qubit_mod.matrix_elements_from_pauli(mat, pz)
             t_pauli = min(t_pauli, time.perf_counter() - t0)
         checksum = int(np.sum(amps.real))
+
+        # Fairness control: the reference's 4.17 s ran on an unspecified
+        # multi-core notebook host; this box is ONE core.  Time the
+        # REFERENCE'S OWN ALGORITHM (qubit.py:167-240: per-row bool->int
+        # conversion, connected bits == diag compare, sorted isin +
+        # searchsorted) here, vectorized generously in NumPy.
+        t_ref_algo = None
+        if time.perf_counter() - _T_START < 2400:
+            # column c of the bool matrix is qubit nq-1-c
+            zmask_cols = np.asarray(pz.z)[::-1]
+            xmask_cols = np.asarray(pz.x)[::-1]
+            t0 = time.perf_counter()
+
+            # bool -> int64 per row (reference C17 kernel, done the fast way
+            # — generous to the reference, whose own conversion is a jitted
+            # per-bit loop)
+            def to_ints(bmat):
+                p = bitpack.pack_bool_matrix(bmat)
+                return p[:, 0].astype(np.int64) | (p[:, 1].astype(np.int64) << 32)
+
+            row_ints = to_ints(mat)
+            conn = mat ^ xmask_cols[None, :]
+            conn_ints = to_ints(conn)
+            signs_ref = 1 - 2 * ((mat & zmask_cols[None, :]).sum(axis=1) & 1)
+            present = np.isin(conn_ints, row_ints, assume_unique=True, kind="sort")
+            rows_ref = np.flatnonzero(present)
+            cols_ref = np.searchsorted(row_ints, conn_ints[present])
+            amps_ref = signs_ref[present].astype(np.complex128)
+            t_ref_algo = round(time.perf_counter() - t0, 4)
+            assert len(amps_ref) == len(amps)
+            del conn, conn_ints, present, rows_ref, cols_ref, amps_ref
         pauli_detail = {
             "dim": int(len(ints)),
             "nnz": int(len(amps)),
             "end_to_end_seconds": round(t_pauli, 4),
             "reference_cpu_seconds": 4.17,
             "speedup_vs_reference": round(4.17 / t_pauli, 2),
+            "reference_algorithm_on_this_host_seconds": t_ref_algo,
+            "speedup_vs_reference_same_host": (
+                round(t_ref_algo / t_pauli, 2) if t_ref_algo else None
+            ),
             "checksum": checksum,
         }
         del mat, amps, rows, cols

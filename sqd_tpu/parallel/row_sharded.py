@@ -40,7 +40,7 @@ from ..ops.davidson import davidson_ground_state, davidson_initial_guess
 from ..ops.hamiltonian import build_sci_hamiltonian, expectation_value
 from .mesh import default_mesh
 
-__all__ = ["solve_sci_rowsharded"]
+__all__ = ["solve_sci_rowsharded", "solve_sci_batch_rowsharded"]
 
 _AXIS = "row"
 
@@ -250,3 +250,27 @@ def solve_sci_rowsharded(
     return SCIResult(
         energy, state, orbital_occupancies=occ, rdm1=rdm1, rdm2=rdm2
     )
+
+
+def solve_sci_batch_rowsharded(
+    ci_strings,
+    one_body_tensor,
+    two_body_tensor,
+    norb: int,
+    nelec,
+    **kwargs,
+):
+    """``sci_solver``-seam adapter: row-sharded solves, one batch at a time.
+
+    For subspaces so large that a single solve needs the whole mesh, the
+    batches cannot run concurrently across devices (that is
+    :func:`~sqd_tpu.parallel.batch_solver.solve_sci_batch_sharded`'s regime);
+    instead each batch solve uses EVERY device's memory.  Drop into
+    ``diagonalize_fermionic_hamiltonian(..., sci_solver=...)`` directly.
+    """
+    return [
+        solve_sci_rowsharded(
+            cs, one_body_tensor, two_body_tensor, norb, nelec, **kwargs
+        )
+        for cs in ci_strings
+    ]

@@ -180,6 +180,25 @@ def test_rowsharded_spin_penalty_matches_local(system):
     assert abs(res_r.energy - res_s.energy) < 1e-7
 
 
+def test_rowsharded_batch_seam(system):
+    """solve_sci_batch_rowsharded drops into the sci_solver seam."""
+    from sqd_tpu.parallel.row_sharded import solve_sci_batch_rowsharded
+
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(31)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    ci_strings = [
+        (np.sort(rng.choice(all_strs, 10, replace=False)),) * 2 for _ in range(2)
+    ]
+    seq = fermion.solve_sci_batch(ci_strings, h1, eri, norb, nelec)
+    par = solve_sci_batch_rowsharded(
+        ci_strings, h1, eri, norb, nelec, tol=1e-9, solver_dtype=np.float64
+    )
+    for s, p in zip(seq, par):
+        assert abs(s.energy - p.energy) < 1e-8
+
+
 def test_sharded_batch_spin_penalty_energy_is_bare(system):
     """spin_sq on the batch-sharded path must return penalty-FREE energies.
 
