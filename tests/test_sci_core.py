@@ -180,6 +180,28 @@ def test_padding_is_inert():
     assert np.all(sig_pad[m:, :] == 0) and np.all(sig_pad[:, n:] == 0)
 
 
+def test_gram_eigh_variants_exact():
+    """The TPU Gram eigensolvers (full Jacobi + QDWH-hybrid) vs LAPACK.
+
+    The CPU suite never reaches these branches through _masked_eigh, so pin
+    them directly; accuracy must be far below the Davidson tolerances."""
+    from sqd_tpu.ops.davidson import _hybrid_eigh, _jacobi_eigh, _mm64
+
+    rng = np.random.default_rng(9)
+    for n in (8, 17, 24):
+        a = rng.normal(size=(n, n))
+        a = (a + a.T) / 2
+        vals_ref = np.linalg.eigvalsh(a)
+        aj = jnp.asarray(a, jnp.float64)
+        for fn in (_jacobi_eigh, _hybrid_eigh):
+            vals, vecs = fn(aj)
+            np.testing.assert_allclose(np.asarray(vals), vals_ref, atol=1e-10)
+            resid = np.asarray(_mm64(aj, vecs) - vecs * vals[None, :])
+            assert np.max(np.abs(resid)) < 1e-10
+            orth = np.asarray(_mm64(vecs.T, vecs)) - np.eye(n)
+            assert np.max(np.abs(orth)) < 1e-10
+
+
 def test_davidson_vs_eigh():
     from sqd_tpu.ops.hamiltonian import sci_matvec_flat
 
