@@ -1,3 +1,4 @@
+"""1e7-determinant matvec: row-tiled alpha-first vs beta-first on the chip."""
 import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
@@ -9,7 +10,7 @@ from sqd_tpu.ops import bitpack
 from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian
 
 norb, nelec = 16, (5, 5)
-m = n = 1000
+m7 = n7 = 3163
 rng = np.random.default_rng(0)
 orb_e = np.linspace(-12.0, 3.0, norb)
 h1 = np.diag(orb_e) + 0.08 * rng.normal(size=(norb, norb)); h1 = (h1 + h1.T)/2
@@ -26,43 +27,27 @@ def excitation_strings(count, seed):
             seen.add(new); frontier.append(new)
             if len(frontier)>64: frontier.pop(0)
     return np.array(sorted(seen), dtype=np.int64)
-pa = bitpack.pack_ints(excitation_strings(m,1), norb)
-pb = bitpack.pack_ints(excitation_strings(n,2), norb)
+pa = bitpack.pack_ints(excitation_strings(m7, 5), norb)
+pb = bitpack.pack_ints(excitation_strings(n7, 6), norb)
 ham = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, dtype=jnp.float64).astype(jnp.float32)
 mp, np_ = ham.shape
+print("shape", ham.shape, "col_block", ham.col_block, flush=True)
 c = jnp.asarray(rng.normal(size=(mp, np_)), jnp.float32)
-print("shapes", ham.shape, "La", ham.nbr_idx_a.shape[1], "Lb", ham.nbr_idx_b.shape[1], flush=True)
+c = c / jnp.linalg.norm(c)
 
-def chain(f, reps=50):
+def chain(f, reps=5):
     @jax.jit
     def run(c):
         def body(i, acc):
             return acc + jnp.sum(f(c + acc * 1e-30))
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
-    float(run(c))
+    s = float(run(c))
     t0 = time.perf_counter()
     s = float(run(c))
-    return (time.perf_counter() - t0 - 0.027) / reps
+    return (time.perf_counter() - t0 - 0.027) / reps, s
 
-t_a = chain(lambda c: ham.apply_samespin_alpha(c))
-print(f"samespin alpha (row gathers): {t_a*1e3:.2f} ms", flush=True)
-t_b = chain(lambda c: ham.apply_samespin_beta(c))
-print(f"samespin beta (col gathers):  {t_b*1e3:.2f} ms", flush=True)
-
-def beta_transposed(c):
-    ct = c.T
-    picked = ct[ham.nbr_idx_b]  # (N, Lb, M) row gathers
-    with jax.default_matmul_precision("highest"):
-        out = jnp.einsum("kl,klm->km", ham.nbr_val_b, picked)
-    return out.T
-
-t_bt = chain(beta_transposed)
-print(f"samespin beta (transposed row gathers): {t_bt*1e3:.2f} ms", flush=True)
-# correctness
-d = float(jnp.max(jnp.abs(beta_transposed(c) - ham.apply_samespin_beta(c))))
-print("beta transposed max diff:", d, flush=True)
-# cross-spin pallas for scale
-t_p = chain(lambda c: ham._matvec_pallas(c))
-print(f"full pallas matvec: {t_p*1e3:.2f} ms", flush=True)
-t_f = chain(lambda c: ham.matvec(c))
-print(f"dispatched matvec:  {t_f*1e3:.2f} ms", flush=True)
+t_rf, s_rf = chain(lambda c: ham._SCIHamiltonian__matvec_blocked_row_first(c))
+print(f"row-first:  {t_rf*1e3:.0f} ms  checksum {s_rf:.6f}", flush=True)
+t_bf, s_bf = chain(lambda c: ham._SCIHamiltonian__matvec_blocked_beta_first(c))
+print(f"beta-first: {t_bf*1e3:.0f} ms  checksum {s_bf:.6f}", flush=True)
+print(f"speedup {t_bf/t_rf:.2f}x", flush=True)

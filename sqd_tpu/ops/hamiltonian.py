@@ -519,8 +519,11 @@ class SCIHamiltonian(SCIBasis):
         buffer in HBM but all its gathers move contiguous rows — measured
         ~46 ms/matvec at 1e6 determinants.  The beta-first single-pass
         variant needs no full-size intermediate (unlocking 1e7 determinants
-        on one chip) but its column gathers run at element granularity and
-        are ~10x slower — so it is used only when the G buffer would not fit.
+        on one chip); measured 580 ms/matvec at 1e7.  (A row-tiled
+        alpha-first single pass — the Pallas schedule in XLA — was measured
+        6x SLOWER at 1e7: XLA lowers the per-(pair, column) beta picks at
+        ~1 element/cycle, 2.6e9 picks/matvec; the beta-first form's column
+        gathers move contiguous runs instead.)
         """
         m, n = c.shape
         g_bytes = self.norb * self.norb * m * n * c.dtype.itemsize
@@ -974,7 +977,9 @@ def build_sci_hamiltonian(
             col_block = cb if cb < n_pad else 0
         else:
             col_block = 0
-        if col_block == 0 and npair * m_pad * n_pad > 32 * 1024 * 1024:
+        if npair * m_pad * n_pad > 32 * 1024 * 1024:
+            # lane/sublane alignment for the unblocked, row-tiled and Pallas
+            # paths (padded determinants are inert)
             m_pad = -(-m_pad // 8) * 8
             n_pad = -(-n_pad // 128) * 128
     col_block = int(col_block)
