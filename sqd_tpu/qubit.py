@@ -174,8 +174,15 @@ def solve_qubit_device(
     max_subspace: int = 32,
     max_iterations: int = 300,
     dtype=None,
+    coarse_dtype=jnp.float32,
 ) -> tuple[float, np.ndarray, ProjectedPauliOperator]:
     """Ground state of the projected operator, fully on device (matrix-free).
+
+    Mixed precision mirrors the fermionic solver: a fast f32 Davidson runs to
+    its noise floor (on TPU, f64 software arithmetic is ~10x slower per
+    matvec), then the f64 Davidson polishes warm-started from that vector
+    down to ``tol``.  Pass ``coarse_dtype=None`` (or ``dtype``) to force a
+    single-precision-level solve.
 
     Returns ``(energy, eigenvector, operator)``; the operator can be reused
     for further matvecs/expectation values.
@@ -183,18 +190,32 @@ def solve_qubit_device(
     bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
     packed = bitpack.pack_bool_matrix(bitstring_matrix)
     op = build_projected_operator(packed, hamiltonian.paulis, hamiltonian.coeffs)
-    # Everything runs in REAL f64 arithmetic: complex operators act on the
+    # Everything runs in REAL arithmetic: complex operators act on the
     # stacked real embedding [v_re; v_im] (no complex dtype exists on the
     # axon TPU runtime — see ProjectedPauliOperator).  ``dtype`` is accepted
     # for backward compatibility; complex requests map to the embedding.
     work_dtype = jnp.float64
     if dtype is not None and not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         work_dtype = jnp.dtype(dtype)
+        coarse_dtype = None
     hd = op.hdiag
     if op.is_complex:
         hd = jnp.concatenate([hd, hd])  # embedded diagonal (Im(diag) = 0)
     hd = hd.astype(work_dtype)
     v0 = davidson_initial_guess(hd, work_dtype)
+    if coarse_dtype is not None and jnp.dtype(coarse_dtype) != work_dtype:
+        scale = float(jnp.max(jnp.abs(hd))) if hd.size else 1.0
+        eps = float(jnp.finfo(coarse_dtype).eps)
+        coarse = davidson_ground_state(
+            pauli_apply_flat,
+            op,
+            hd.astype(coarse_dtype),
+            v0.astype(coarse_dtype),
+            tol=max(tol, 32 * eps * max(1.0, scale)),
+            max_subspace=max_subspace,
+            max_iterations=max_iterations,
+        )
+        v0 = coarse.vector.astype(work_dtype)
     res = davidson_ground_state(
         pauli_apply_flat,
         op,
