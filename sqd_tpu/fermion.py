@@ -37,7 +37,6 @@ from .ops.davidson import davidson_ground_state, davidson_initial_guess
 from .ops import hamiltonian as hamiltonian_ops
 from .ops.hamiltonian import (
     SCIBasis,
-    SCIHamiltonian,
     build_sci_basis,
     build_sci_hamiltonian,
     sci_matvec_flat,

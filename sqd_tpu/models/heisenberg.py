@@ -8,8 +8,6 @@ L-site Heisenberg ring with XX+YY+ZZ couplings and local fields).
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..primitives import SparsePauliOp
 
 __all__ = ["heisenberg_ring", "transverse_field_ising"]

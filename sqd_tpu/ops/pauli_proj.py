@@ -21,8 +21,6 @@ SURVEY.md C14/C15/N5).  Differences by design:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 
 import jax
