@@ -115,6 +115,22 @@ def _solve_inside(op, tol, max_subspace, max_cycle):
     return res.vector, res.iterations, res.converged, res.residual_norm
 
 
+def _refine_inside(op, v0, tol, max_subspace, max_cycle):
+    """Warm-started f64 polish of the coarse solution (same sharding)."""
+    hdiag = op["hdiag"].reshape(-1)
+    res = davidson_ground_state(
+        _rowsharded_matvec,
+        op,
+        hdiag,
+        v0.astype(hdiag.dtype),
+        tol=tol,
+        max_subspace=max_subspace,
+        max_iterations=max_cycle,
+        axis_name=_AXIS,
+    )
+    return res.vector
+
+
 def solve_sci_rowsharded(
     ci_strings,
     one_body_tensor,
@@ -129,14 +145,20 @@ def solve_sci_rowsharded(
     tol: float = 1e-5,
     max_subspace: int = 24,
     max_cycle: int = 200,
+    refine_iterations: int | None = None,
     with_rdms: bool = False,
 ):
     """Diagonalize ONE subspace with the alpha-determinant axis sharded.
 
     Same contract as :func:`sqd_tpu.fermion.solve_sci` (including the fused
-    ``shift * (S^2 - spin_sq)`` penalty steering and the bare-H final energy).
-    Intended for subspaces whose Krylov workspace exceeds one chip.
+    ``shift * (S^2 - spin_sq)`` penalty steering, the bare-H final energy,
+    and — for f32 solves — a warm-started f64 Davidson polish before RDMs /
+    occupancies, so the ``sci_solver`` seam cannot converge-by-noise on
+    ``occupancies_tol``).  Intended for subspaces whose Krylov workspace
+    exceeds one chip.
     """
+    import math
+
     from ..fermion import SCIResult, SCIState, _check_ci_strs
 
     if mesh is None:
@@ -146,11 +168,17 @@ def solve_sci_rowsharded(
 
         mesh = Mesh(mesh.devices.reshape(-1), (_AXIS,))
     ndev = mesh.devices.size
+    if refine_iterations is None:
+        refine_iterations = 0 if jnp.dtype(solver_dtype) == jnp.float64 else 6
     strs_a, strs_b = _check_ci_strs(ci_strings)
     pa = bitpack.pack_ints(np.asarray(strs_a, dtype=object if norb >= 63 else np.int64), norb)
     pb = bitpack.pack_ints(np.asarray(strs_b, dtype=object if norb >= 63 else np.int64), norb)
     m, n = len(strs_a), len(strs_b)
-    m_pad = -(-m // ndev) * ndev  # every device gets the same row count
+    # every device gets the same row count; lcm keeps the count divisible by
+    # ndev even after build_sci_hamiltonian re-rounds large M to a multiple
+    # of 8 for sublane alignment
+    step = math.lcm(ndev, 8)
+    m_pad = -(-m // step) * step
 
     with_spin = spin_sq is not None
     ham64 = build_sci_hamiltonian(
@@ -162,18 +190,6 @@ def solve_sci_rowsharded(
     m_pad, n_pad = ham64.shape
     npair = norb * norb
 
-    op = {
-        "src_a": ham64.src_a,  # (npair, M) -> row-sharded axis 1
-        "sign_a": ham64.sign_a,
-        "src_b": ham64.src_b,  # (npair, N) replicated
-        "sign_b": ham64.sign_b,
-        "nbr_idx_a": ham64.nbr_idx_a,  # (M, La) row-sharded axis 0
-        "nbr_val_a": ham64.nbr_val_a.astype(solver_dtype),
-        "nbr_idx_b": ham64.nbr_idx_b,  # (N, Lb) replicated
-        "nbr_val_b": ham64.nbr_val_b.astype(solver_dtype),
-        "eri_t": ham64.eri_t.astype(solver_dtype),
-        "hdiag": ham64.hdiag.astype(solver_dtype),  # (M, N) row-sharded axis 0
-    }
     specs = {
         "src_a": P(None, _AXIS),
         "sign_a": P(None, _AXIS),
@@ -185,21 +201,39 @@ def solve_sci_rowsharded(
         "nbr_val_b": P(),
         "eri_t": P(),
         "hdiag": P(_AXIS),
+        "src_b_qp": P(),
+        "sign_b_qp": P(),
+        "spin_shift": P(),
+        "spin_const": P(),
     }
-    if with_spin:
-        p_idx, q_idx = np.divmod(np.arange(npair), norb)
-        perm = q_idx * norb + p_idx
-        n_a, n_b = (int(x) for x in nelec)
-        sz = 0.5 * (n_a - n_b)
-        op["src_b_qp"] = ham64.src_b[jnp.asarray(perm)]
-        op["sign_b_qp"] = ham64.sign_b[jnp.asarray(perm)]
-        op["spin_shift"] = jnp.asarray(float(shift), jnp.float64)
-        op["spin_const"] = jnp.asarray(sz * sz + sz + n_b - float(spin_sq), jnp.float64)
-        specs.update(
-            {"src_b_qp": P(), "sign_b_qp": P(), "spin_shift": P(), "spin_const": P()}
-        )
 
-    op = {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
+    def _make_op(dtype):
+        op = {
+            "src_a": ham64.src_a,  # (npair, M) -> row-sharded axis 1
+            "sign_a": ham64.sign_a,
+            "src_b": ham64.src_b,  # (npair, N) replicated
+            "sign_b": ham64.sign_b,
+            "nbr_idx_a": ham64.nbr_idx_a,  # (M, La) row-sharded axis 0
+            "nbr_val_a": ham64.nbr_val_a.astype(dtype),
+            "nbr_idx_b": ham64.nbr_idx_b,  # (N, Lb) replicated
+            "nbr_val_b": ham64.nbr_val_b.astype(dtype),
+            "eri_t": ham64.eri_t.astype(dtype),
+            "hdiag": ham64.hdiag.astype(dtype),  # (M, N) row-sharded axis 0
+        }
+        if with_spin:
+            p_idx, q_idx = np.divmod(np.arange(npair), norb)
+            perm = q_idx * norb + p_idx
+            n_a, n_b = (int(x) for x in nelec)
+            sz = 0.5 * (n_a - n_b)
+            op["src_b_qp"] = ham64.src_b[jnp.asarray(perm)]
+            op["sign_b_qp"] = ham64.sign_b[jnp.asarray(perm)]
+            op["spin_shift"] = jnp.asarray(float(shift), jnp.float64)
+            op["spin_const"] = jnp.asarray(
+                sz * sz + sz + n_b - float(spin_sq), jnp.float64
+            )
+        return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
+
+    op = _make_op(solver_dtype)
     op_specs = {k: specs[k] for k in op}
     # the flat direction vector is the row-sharded (M, N) grid flattened:
     # P(_AXIS) on the flat axis == row sharding because N divides the shard.
@@ -215,6 +249,27 @@ def solve_sci_rowsharded(
         )
     )
     vec, iters, converged, rnorm = solve(op)
+    if refine_iterations > 0 and jnp.dtype(solver_dtype) != jnp.float64:
+        # f64 polish: an f32-converged vector's occupancies carry ~1e-4 noise
+        # at >=1e5 determinants — above the orchestrator's occupancies_tol
+        # (same rationale as solve_sci's refine_iterations default)
+        del op
+        op64 = _make_op(jnp.float64)
+        refine = jax.jit(
+            jax.shard_map(
+                partial(
+                    _refine_inside,
+                    tol=tol,
+                    max_subspace=max_subspace,
+                    max_cycle=refine_iterations,
+                ),
+                mesh=mesh,
+                in_specs=(op_specs, P(_AXIS)),
+                out_specs=P(_AXIS),
+                check_vma=False,
+            )
+        )
+        vec = refine(op64, vec)
     # bare-H energy on the full vector (chunk-accumulated; ham64 padding rows
     # are exactly zero in vec, so the padded evaluation is the true energy)
     bare64 = ham64

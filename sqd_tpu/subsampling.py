@@ -24,9 +24,9 @@ __all__ = [
 
 
 @deprecate_func(
-    since="0.12.0",
+    since="0.2.0",
     package_name="sqd-tpu",
-    removal_timeline="no earlier than v0.13.0",
+    removal_timeline="no earlier than v0.3.0",
     additional_msg=("Instead, use the ``postselect_by_hamming_right_and_left`` function."),
 )
 def post_select_by_hamming_weight(
@@ -159,6 +159,10 @@ def subsample_device(
         raise ValueError("The number of batches must be specified with a positive integer.")
     if samples_per_batch >= bitstring_matrix.shape[0]:
         return [bitstring_matrix.copy() for _ in range(num_batches)]
+    if int(np.count_nonzero(np.asarray(probabilities) > 0)) < samples_per_batch:
+        # match host-path (rng.choice) semantics: sampling without replacement
+        # cannot produce more rows than have positive probability
+        raise ValueError("Fewer non-zero entries in p than size")
 
     p = jnp.asarray(probabilities, jnp.float32)
     logw = jnp.where(p > 0, jnp.log(jnp.where(p > 0, p, 1.0)), -jnp.inf)
@@ -169,9 +173,9 @@ def subsample_device(
 
 
 @deprecate_func(
-    since="0.12.0",
+    since="0.2.0",
     package_name="sqd-tpu",
-    removal_timeline="no earlier than v0.13.0",
+    removal_timeline="no earlier than v0.3.0",
     additional_msg=(
         "Instead, use the ``postselect_by_hamming_right_and_left`` and ``subsample`` functions."
     ),

@@ -173,3 +173,10 @@ def test_subsample_device_errors():
         subsampling.subsample_device(mat, probs, 0, 2, key)
     with pytest.raises(ValueError, match="number of batches"):
         subsampling.subsample_device(mat, probs, 2, 0, key)
+    # fewer positive-probability rows than samples_per_batch: the host path
+    # (rng.choice) raises — the device path must match rather than silently
+    # including zero-probability rows (ADVICE r2)
+    probs_sparse = np.zeros(len(mat))
+    probs_sparse[:3] = 1.0 / 3.0
+    with pytest.raises(ValueError, match="Fewer non-zero entries"):
+        subsampling.subsample_device(mat, probs_sparse, 5, 2, key)
