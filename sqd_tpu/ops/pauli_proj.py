@@ -28,7 +28,14 @@ import jax.numpy as jnp
 
 from . import bitpack
 
-__all__ = ["pauli_masks_to_packed", "connected_table", "ProjectedPauliOperator", "build_projected_operator"]
+__all__ = [
+    "pauli_masks_to_packed",
+    "connected_table",
+    "diagonal_sign_table",
+    "pauli_term_table",
+    "ProjectedPauliOperator",
+    "build_projected_operator",
+]
 
 
 def pauli_masks_to_packed(z: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -53,6 +60,51 @@ def connected_table(sorted_packed, z_words, x_words):
     sign = 1 - 2 * (bitpack.jnp_popcount_rows(sorted_packed & z_words[None, :]) % 2)
     ok = col >= 0
     return jnp.where(ok, col, d).astype(jnp.int32), jnp.where(ok, sign, 0).astype(jnp.int8)
+
+
+@jax.jit
+def diagonal_sign_table(sorted_packed, z_words):
+    """Per-row sign of a DIAGONAL (X-free) Pauli term, fully on device.
+
+    For a term with no X/Y component every basis state connects to itself,
+    so the whole projection is the sign vector
+    ``(-1)^{popcount(bits AND z)}`` — one streaming popcount over the packed
+    words, no membership search (the reference runs its full sorted ``isin``
+    even here; this is its benchmark's Z^40 case,
+    ``docs/guides/benchmark_pauli_projection.ipynb`` cell 7).
+    """
+    return (
+        1 - 2 * (bitpack.jnp_popcount_rows(sorted_packed & z_words[None, :]) % 2)
+    ).astype(jnp.int8)
+
+
+def pauli_term_table(sorted_packed, pauli):
+    """Matrix-free (col, sign, phase) table of ONE Pauli term, on device.
+
+    The device-resident production form of reference
+    ``matrix_elements_from_pauli`` (``qubit.py:167-240``): ``col[i]`` is the
+    subspace index of the state connected to row ``i`` (sentinel ``d`` when
+    the connected string is outside the subspace), ``sign[i]`` the real sign,
+    and ``phase = i^{#Y}`` the constant per-term factor.  Input and outputs
+    live on device; nothing is transferred to the host.
+
+    Args:
+        sorted_packed: (d, W) uint32 device array, rows sorted ascending.
+        pauli: object with boolean ``z``/``x`` arrays in qubit order.
+    """
+    z = np.asarray(pauli.z)
+    x = np.asarray(pauli.x)
+    zw, xw = pauli_masks_to_packed(z, x)
+    w = sorted_packed.shape[1]
+    phase = 1j ** int(np.sum(z & x))
+    d = sorted_packed.shape[0]
+    if not np.asarray(xw[:w]).any():
+        sign = diagonal_sign_table(sorted_packed, jnp.asarray(zw[:w]))
+        col = jnp.arange(d, dtype=jnp.int32)
+        return col, sign, phase
+    table_fn = connected_table_rank if d >= 1_000_000 else connected_table
+    col, sign = table_fn(sorted_packed, jnp.asarray(zw[:w]), jnp.asarray(xw[:w]))
+    return col, sign, phase
 
 
 @jax.jit

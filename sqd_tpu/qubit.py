@@ -62,15 +62,25 @@ def matrix_elements_from_pauli(
     Same contract as reference ``qubit.py:167-240``: for the (sorted, unique)
     rows of ``bitstring_matrix``, returns ``(amplitudes, rows, cols)`` such
     that ``A[rows[k], cols[k]] = amplitudes[k]``.  Unlike the reference there
-    is no 63-qubit limit.
+    is no 63-qubit limit, and the input may be given directly in the
+    framework's packed-word form — a ``(d, W)`` uint32 array of sorted unique
+    rows — which skips materializing the ``d x nq`` bool matrix entirely
+    (at the reference benchmark's d = 5e7, 40 qubits, that bool matrix is
+    2 GB; the packed form is 400 MB).  For a fully device-resident per-term
+    table (no host transfer at all) use
+    :func:`sqd_tpu.ops.pauli_proj.pauli_term_table`.
 
     Args:
         bitstring_matrix: 2D bool array, rows sorted ascending by unsigned
-            integer value and unique (see :func:`sort_and_remove_duplicates`).
+            integer value and unique (see :func:`sort_and_remove_duplicates`),
+            OR the equivalent packed uint32 word matrix.
         pauli: a :class:`sqd_tpu.primitives.Pauli` (or any object with boolean
             ``z``/``x`` arrays in qubit order, e.g. a Qiskit ``Pauli``).
     """
-    packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
+    if bitstring_matrix.dtype == np.uint32:
+        packed_h = np.asarray(bitstring_matrix)
+    else:
+        packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
     zw, xw = pauli_masks_to_packed(np.asarray(pauli.z), np.asarray(pauli.x))
     d = len(packed_h)
     w = packed_h.shape[1]
@@ -170,13 +180,14 @@ def solve_qubit_device(
     bitstring_matrix: np.ndarray,
     hamiltonian,
     *,
+    k: int = 1,
     tol: float = 1e-8,
     max_subspace: int = 32,
     max_iterations: int = 300,
     dtype=None,
     coarse_dtype=jnp.float32,
-) -> tuple[float, np.ndarray, ProjectedPauliOperator]:
-    """Ground state of the projected operator, fully on device (matrix-free).
+):
+    """Lowest eigenpair(s) of the projected operator, fully on device.
 
     Mixed precision mirrors the fermionic solver: a fast f32 Davidson runs to
     its noise floor (on TPU, f64 software arithmetic is ~10x slower per
@@ -184,12 +195,21 @@ def solve_qubit_device(
     down to ``tol``.  Pass ``coarse_dtype=None`` (or ``dtype``) to force a
     single-precision-level solve.
 
-    Returns ``(energy, eigenvector, operator)``; the operator can be reused
-    for further matvecs/expectation values.
+    With ``k == 1`` (default) returns ``(energy, eigenvector, operator)``.
+    With ``k > 1`` returns ``(energies, eigenvectors, operator)`` with
+    ``energies`` ascending and ``eigenvectors`` of shape ``(d, k)`` (column
+    convention matching ``scipy.sparse.linalg.eigsh`` / reference
+    ``qubit.py:73``), computed by the on-device block Davidson
+    (:func:`sqd_tpu.ops.davidson.davidson_lowest_k`).
     """
     bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
     packed = bitpack.pack_bool_matrix(bitstring_matrix)
     op = build_projected_operator(packed, hamiltonian.paulis, hamiltonian.coeffs)
+    if k > 1:
+        return _solve_qubit_device_k(
+            op, k=k, tol=tol, max_subspace=max_subspace,
+            max_iterations=max_iterations,
+        )
     # Everything runs in REAL arithmetic: complex operators act on the
     # stacked real embedding [v_re; v_im] (no complex dtype exists on the
     # axon TPU runtime — see ProjectedPauliOperator).  ``dtype`` is accepted
@@ -233,3 +253,53 @@ def solve_qubit_device(
         if nrm > 0:
             vec = vec / nrm
     return float(res.theta), vec, op
+
+
+def _solve_qubit_device_k(
+    op: ProjectedPauliOperator, *, k: int, tol: float, max_subspace: int,
+    max_iterations: int,
+):
+    """k lowest eigenpairs via the on-device block Davidson.
+
+    For a complex operator the solve runs on the real embedding
+    ``[[A, -B], [B, A]]`` where every eigenvalue of ``H = A + iB`` appears
+    TWICE (eigenvectors ``[x; y]`` and ``[-y; x]`` both map to the same
+    complex vector up to phase): we extract ``2k`` embedded pairs, map them
+    back to complex vectors, orthonormalize, and run one small complex
+    Rayleigh-Ritz to recover the k distinct pairs.
+    """
+    from .ops.davidson import davidson_initial_guess_k, davidson_lowest_k
+
+    hd = op.hdiag
+    if op.is_complex:
+        hd = jnp.concatenate([hd, hd])
+    hd = hd.astype(jnp.float64)
+    k_embed = 2 * k if op.is_complex else k
+    v0 = davidson_initial_guess_k(hd, k_embed, jnp.float64)
+    res = davidson_lowest_k(
+        pauli_apply_flat, op, hd, v0,
+        k=k_embed, tol=tol,
+        max_subspace=max(max_subspace, 2 * k_embed + 4),
+        max_iterations=max_iterations,
+    )
+    vecs = np.asarray(res.vectors)
+    if not op.is_complex:
+        return np.asarray(res.thetas), vecs.T.copy(), op
+    # complex recovery: unembed, orthonormalize, small Rayleigh-Ritz
+    d = op.dim
+    cvecs = vecs[:, :d] + 1j * vecs[:, d:]
+    q, _ = np.linalg.qr(cvecs.T)  # (d, <=2k) orthonormal columns
+    q = q[:, :k_embed]
+
+    def h_complex(col):
+        emb = jnp.concatenate(
+            [jnp.asarray(col.real), jnp.asarray(col.imag)]
+        ).astype(jnp.float64)
+        out = np.asarray(pauli_apply_flat(op, emb))
+        return out[:d] + 1j * out[d:]
+
+    hq = np.stack([h_complex(q[:, i]) for i in range(q.shape[1])], axis=1)
+    t = q.conj().T @ hq
+    t = 0.5 * (t + t.conj().T)
+    w, y = np.linalg.eigh(t)
+    return w[:k], (q @ y[:, :k]), op

@@ -164,3 +164,78 @@ def test_tfim_device_ground_state():
     e_dev, _, _ = qubit.solve_qubit_device(all_bits, op, tol=1e-9)
     dense_vals = np.linalg.eigvalsh(op.to_matrix())
     assert abs(e_dev - dense_vals[0]) < 1e-7
+
+
+def test_matrix_elements_packed_input_matches_bool():
+    # packed uint32 ingestion must give identical triplets to the bool path
+    from sqd_tpu.ops import bitpack
+
+    rng = np.random.default_rng(11)
+    mat = qubit.sort_and_remove_duplicates(rng.integers(2, size=(300, 40)).astype(bool))
+    packed = bitpack.pack_bool_matrix(mat)
+    for label in ["Z" * 40, "X" + "Z" * 39, "I" * 20 + "Y" + "I" * 19]:
+        p = Pauli.from_label(label)
+        a1, r1, c1 = qubit.matrix_elements_from_pauli(mat, p)
+        a2, r2, c2 = qubit.matrix_elements_from_pauli(packed, p)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(a1, a2)
+
+
+def test_pauli_term_table_device_matches_host_api():
+    # the device-resident per-term table (clamped cols + sign + phase) must
+    # agree with the filtered host triplets for diagonal and non-diagonal terms
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops import bitpack
+    from sqd_tpu.ops.pauli_proj import pauli_term_table
+
+    rng = np.random.default_rng(12)
+    mat = qubit.sort_and_remove_duplicates(rng.integers(2, size=(500, 45)).astype(bool))
+    packed = bitpack.pack_bool_matrix(mat)
+    d = len(packed)
+    for label in ["Z" * 45, "X" * 2 + "Z" * 43, "Y" + "I" * 44]:
+        p = Pauli.from_label(label)
+        col, sign, phase = pauli_term_table(jnp.asarray(packed), p)
+        col = np.asarray(col)
+        sign = np.asarray(sign)
+        amps, rows, cols = qubit.matrix_elements_from_pauli(mat, p)
+        keep = col < d
+        np.testing.assert_array_equal(np.flatnonzero(keep), rows)
+        np.testing.assert_array_equal(col[keep], cols)
+        np.testing.assert_allclose(phase * sign[keep].astype(np.complex128), amps)
+
+
+def test_solve_qubit_device_k3_matches_scipy():
+    """k=3 block Davidson on the Heisenberg ring == eigsh(k=3) (VERDICT r2 #7)."""
+    from sqd_tpu.models.heisenberg import heisenberg_ring
+
+    n = 10
+    op = heisenberg_ring(n, j_xx=1.0, j_yy=1.0, j_zz=0.8, h_z=0.3)
+    rng = np.random.default_rng(17)
+    ints = np.unique(rng.integers(0, 1 << n, size=600, dtype=np.int64))
+    mat = np.array([[bool(int(b)) for b in format(i, f"0{n}b")] for i in ints])
+    w_ref, _ = qubit.solve_qubit(mat, op, k=3, which="SA")
+    w_dev, v_dev, _ = qubit.solve_qubit_device(mat, op, k=3, tol=1e-9)
+    np.testing.assert_allclose(np.sort(w_dev), np.sort(w_ref), atol=1e-7)
+    assert v_dev.shape == (len(ints), 3)
+    # eigenvector columns orthonormal
+    g = v_dev.conj().T @ v_dev
+    np.testing.assert_allclose(g, np.eye(3), atol=1e-7)
+
+
+def test_solve_qubit_device_k3_complex_terms():
+    # Y-containing Hamiltonian: the k-path must survive the real embedding's
+    # eigenvalue doubling and return k DISTINCT complex eigenpairs
+    from sqd_tpu.models.heisenberg import heisenberg_ring
+
+    n = 8
+    op = heisenberg_ring(n, j_xx=0.9, j_yy=1.1, j_zz=0.7, h_z=0.2)
+    mat = np.array(
+        [[bool(int(b)) for b in format(i, f"0{n}b")] for i in range(2**n)]
+    )
+    w_ref, _ = qubit.solve_qubit(mat, op, k=3, which="SA")
+    w_dev, v_dev, _ = qubit.solve_qubit_device(mat, op, k=3, tol=1e-9)
+    np.testing.assert_allclose(np.sort(w_dev), np.sort(w_ref), atol=1e-6)
+    g = v_dev.conj().T @ v_dev
+    np.testing.assert_allclose(g, np.eye(3), atol=1e-6)
