@@ -268,3 +268,118 @@ def test_orchestrator_with_sharded_solver(system):
     )
     assert result.energy >= evals[0] - 1e-9
     assert abs(result.energy - evals[0]) < 5e-2
+
+
+def test_gridsharded_solve_matches_local(system):
+    """2-D (alpha x beta) grid-sharded solve == single-device solve.
+
+    No device holds the full direction vector: the matvec composes two panel
+    all-gathers with one psum_scatter of the cross-spin partial
+    (SURVEY.md §7 step 7 end state).
+    """
+    from sqd_tpu.parallel.grid_sharded import default_grid_mesh, solve_sci_gridsharded
+
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(31)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    sel_a = np.sort(rng.choice(all_strs, 15, replace=False))
+    sel_b = np.sort(rng.choice(all_strs, 13, replace=False))
+    mesh = default_grid_mesh()
+    assert mesh.devices.shape == (2, 4)  # near-square factorization of 8
+    res_g = solve_sci_gridsharded(
+        (sel_a, sel_b), h1, eri, norb, nelec, tol=1e-8, solver_dtype=np.float64,
+        mesh=mesh,
+    )
+    res_s = fermion.solve_sci((sel_a, sel_b), h1, eri, norb=norb, nelec=nelec)
+    assert abs(res_g.energy - res_s.energy) < 1e-9
+    np.testing.assert_allclose(
+        np.ravel(res_g.orbital_occupancies), np.ravel(res_s.orbital_occupancies),
+        atol=1e-6,
+    )
+    a, b = res_g.sci_state.amplitudes, res_s.sci_state.amplitudes
+    sgn = np.sign(np.vdot(a.ravel(), b.ravel()))
+    np.testing.assert_allclose(a * sgn, b, atol=1e-5)
+
+
+def test_gridsharded_spin_penalty_matches_local(system):
+    from sqd_tpu.parallel.grid_sharded import solve_sci_gridsharded
+
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(33)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    sel = np.sort(rng.choice(all_strs, 14, replace=False))
+    kw = dict(spin_sq=0.0, shift=0.4)
+    res_g = solve_sci_gridsharded(
+        (sel, sel), h1, eri, norb, nelec, tol=1e-8, solver_dtype=np.float64, **kw
+    )
+    res_s = fermion.solve_sci((sel, sel), h1, eri, norb=norb, nelec=nelec, **kw)
+    assert abs(res_g.energy - res_s.energy) < 1e-7
+
+
+def test_gridsharded_f32_refined_occupancies(system):
+    # f32 grid solve must deliver f64-grade occupancies through the polish
+    from sqd_tpu.parallel.grid_sharded import solve_sci_gridsharded
+
+    h1, eri, norb = system
+    nelec = (3, 3)
+    rng = np.random.default_rng(35)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    sel = np.sort(rng.choice(all_strs, 16, replace=False))
+    import jax.numpy as jnp
+
+    res_g = solve_sci_gridsharded((sel, sel), h1, eri, norb, nelec, solver_dtype=jnp.float32)
+    res_s = fermion.solve_sci((sel, sel), h1, eri, norb=norb, nelec=nelec)
+    assert abs(res_g.energy - res_s.energy) < 1e-7
+    np.testing.assert_allclose(
+        np.ravel(res_g.orbital_occupancies), np.ravel(res_s.orbital_occupancies),
+        atol=1e-5,
+    )
+
+
+def test_gridsharded_memory_accounting(system):
+    """Per-device shards of the dominant arrays scale ~1/ndev.
+
+    The point of the 2-D mode: amplitudes, Krylov workspace (proportional to
+    the returned vector's shard), the diagonal, and the per-row/column gather
+    tables all live sharded; only O(npair * N)-sized index tables and the
+    integrals are replicated.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sqd_tpu.parallel.grid_sharded import default_grid_mesh
+
+    mesh = default_grid_mesh()
+    ndev = mesh.devices.size
+    hd = jax.device_put(
+        np.zeros((16, 128 * 4), np.float32), NamedSharding(mesh, P("row", "col"))
+    )
+    shard_bytes = [s.data.nbytes for s in hd.addressable_shards]
+    assert len(shard_bytes) == ndev
+    assert all(b == hd.nbytes // ndev for b in shard_bytes)
+
+
+def test_distributed_degenerate_single_process():
+    """Multi-host entry point: single-process degenerate case (VERDICT r2 #6).
+
+    True multi-host execution needs multiple processes/hosts, which this
+    image cannot provide; the contract tested here is that the entry point
+    is a safe no-op off-cluster and that global meshes cover the local
+    devices with the documented factorization.
+    """
+    from sqd_tpu.parallel import distributed
+
+    assert distributed.init_distributed() is False  # no config -> no-op
+    assert distributed.is_distributed() is False
+    mesh = distributed.global_mesh("batch")
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = distributed.global_mesh("dp", "row")
+    assert mesh2.devices.shape == (1, len(jax.devices()))  # 1 process leads
+    mesh3 = distributed.global_mesh("dp", "row", axis_sizes=(2, 4))
+    assert mesh3.devices.shape == (2, 4)
+    with pytest.raises(ValueError, match="does not cover"):
+        distributed.global_mesh("a", "b", axis_sizes=(3, 5))
+    with pytest.raises(ValueError, match="axis_sizes"):
+        distributed.global_mesh("a", "b", "c")
