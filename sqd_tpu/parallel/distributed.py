@@ -1,0 +1,124 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Multi-host (multi-process) initialization for pod-slice and multi-slice runs.
+
+The reference's cluster scale-out story is swapping its solver for an
+MPI-launched C++ program (``qiskit-addon-dice-solver``,
+``/root/reference/docs/guides/integrate_dice_solver.ipynb``).  The TPU-native
+equivalent is SPMD: every host process runs the SAME program,
+``jax.distributed.initialize`` wires the processes into one runtime, and the
+existing ``shard_map`` solvers (:mod:`~sqd_tpu.parallel.batch_solver`,
+:mod:`~sqd_tpu.parallel.row_sharded`, :mod:`~sqd_tpu.parallel.grid_sharded`)
+run unchanged over a global mesh whose devices span all hosts — batch
+fan-out and intra-solve collectives ride ICI within a slice and DCN across
+slices.
+
+Typical launcher (one process per host; on Cloud TPU the coordinator address
+and process env are provided by the platform and ALL arguments can be
+omitted)::
+
+    import sqd_tpu.parallel as par
+    par.init_distributed()                      # no-op off-cluster
+    mesh = par.global_mesh("batch")             # devices from every process
+    results = par.solve_sci_batch_sharded(..., mesh=mesh)
+
+Single-process (this repo's CI and the attached single-chip TPU) is the
+degenerate case: :func:`init_distributed` returns ``False`` without touching
+the runtime, and ``global_mesh`` equals the local-device mesh.  True
+multi-host execution cannot run in this image (one tunneled chip, one host);
+the mesh construction and spec plumbing are unit-tested in the degenerate
+case (``tests/test_parallel.py``) and the sharded solvers themselves are
+validated on the virtual 8-device mesh.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+__all__ = ["init_distributed", "global_mesh", "is_distributed"]
+
+_INITIALIZED = False
+
+
+def is_distributed() -> bool:
+    """True when more than one process participates in the runtime."""
+    return jax.process_count() > 1
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> bool:
+    """Join this process into a multi-host JAX runtime (idempotent).
+
+    All arguments default from the environment, in order of precedence:
+    explicit argument > ``SQD_TPU_*`` variable > JAX/Cloud-TPU autodetection
+    (on Cloud TPU VMs ``jax.distributed.initialize()`` discovers everything
+    itself).  Recognized variables:
+
+    * ``SQD_TPU_COORDINATOR`` — ``host:port`` of process 0;
+    * ``SQD_TPU_NUM_PROCESSES`` — world size;
+    * ``SQD_TPU_PROCESS_ID`` — this process's rank.
+
+    Returns ``True`` if a multi-process runtime was (or already had been)
+    initialized, ``False`` for the single-process degenerate case (no
+    configuration present) — in which case nothing was modified and all
+    solvers keep working on local devices.
+    """
+    global _INITIALIZED
+    if _INITIALIZED or jax.process_count() > 1:
+        _INITIALIZED = True
+        return True
+    coordinator_address = coordinator_address or os.environ.get("SQD_TPU_COORDINATOR")
+    if num_processes is None and "SQD_TPU_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["SQD_TPU_NUM_PROCESSES"])
+    if process_id is None and "SQD_TPU_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["SQD_TPU_PROCESS_ID"])
+    # Cloud-TPU autodetection — only when the platform actually lists MORE
+    # THAN ONE worker (this repo's image sets a one-entry TPU_WORKER_HOSTNAMES
+    # for its single tunneled chip, which must stay the degenerate case)
+    workers = [w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w]
+    on_cloud_tpu = len(workers) > 1 or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    if coordinator_address is None and not on_cloud_tpu:
+        return False  # single process: degenerate case, nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _INITIALIZED = True
+    return True
+
+
+def global_mesh(*axis_names: str, axis_sizes: tuple[int, ...] | None = None) -> Mesh:
+    """A mesh over the GLOBAL device set (all processes' devices).
+
+    With one axis name the mesh is 1-D over every device (the batch fan-out
+    and row-sharding layout).  With several names, ``axis_sizes`` fixes the
+    factorization; by default the FIRST axis absorbs the process count so
+    intra-axis collectives of the trailing axes stay within a host's devices
+    (ICI) and only the leading axis crosses DCN.
+    """
+    devices = np.asarray(jax.devices())  # global: includes remote processes
+    if not axis_names:
+        axis_names = ("batch",)
+    if len(axis_names) == 1:
+        return Mesh(devices, axis_names)
+    if axis_sizes is None:
+        lead = jax.process_count()
+        rest = devices.size // lead
+        if len(axis_names) != 2:
+            raise ValueError("pass axis_sizes for meshes with more than two axes")
+        axis_sizes = (lead, rest)
+    if int(np.prod(axis_sizes)) != devices.size:
+        raise ValueError(
+            f"axis_sizes {axis_sizes} does not cover {devices.size} devices"
+        )
+    return Mesh(devices.reshape(axis_sizes), axis_names)
