@@ -289,6 +289,7 @@ def solve_sci(
     max_cycle: int = 200,
     pad_bucket: int = 32,
     refine_iterations: int | None = None,
+    table_cache=None,
     **kwargs,
 ) -> SCIResult:
     """Diagonalize the Hamiltonian in the subspace spanned by the CI strings.
@@ -353,6 +354,7 @@ def solve_sci(
         spin_target=0.0 if spin_sq is None else float(spin_sq),
         dtype=jnp.float64,
         pad_to=pad_to,
+        table_cache=table_cache,
     )
     ham = ham64.astype(solver_dtype)
     mp, np_ = ham.shape
@@ -415,6 +417,89 @@ def solve_sci(
         nelec=tuple(int(x) for x in nelec),
     )
     return SCIResult(energy, sci_state, orbital_occupancies=occupancies, rdm1=dm1, rdm2=dm2)
+
+
+def solve_sci_excited(
+    ci_strings: tuple[np.ndarray, np.ndarray],
+    one_body_tensor: np.ndarray,
+    two_body_tensor: np.ndarray,
+    norb: int,
+    nelec: tuple[int, int],
+    *,
+    k: int,
+    spin_sq: float | None = None,
+    shift: float = 0.1,
+    solver_dtype=jnp.float64,
+    tol: float = 1e-7,
+    max_subspace: int = 32,
+    max_cycle: int = 400,
+    pad_bucket: int = 32,
+) -> list[SCIResult]:
+    """The k lowest eigenstates of the projected Hamiltonian (block Davidson).
+
+    Excited-state counterpart of :func:`solve_sci` — what the reference can
+    only reach through the qubit path's ``eigsh(..., k=...)`` kwargs
+    (``/root/reference/qiskit_addon_sqd/qubit.py:73``); here the fermionic
+    stack gets it natively via
+    :func:`sqd_tpu.ops.davidson.davidson_lowest_k`.  Returns ``k``
+    :class:`SCIResult`\\ s in ascending energy order, each with its own bare-H
+    f64 energy, occupancies and RDMs.
+    """
+    from .ops.davidson import davidson_initial_guess_k, davidson_lowest_k
+
+    strs_a, strs_b = _check_ci_strs(ci_strings)
+    norb = int(one_body_tensor.shape[0])
+    pa = _strings_to_packed(strs_a, norb)
+    pb = _strings_to_packed(strs_b, norb)
+    m, n = len(strs_a), len(strs_b)
+    pad_to = None
+    if pad_bucket:
+        pad_to = (_round_up(m, pad_bucket), _round_up(n, pad_bucket))
+    ham64 = build_sci_hamiltonian(
+        pa, pb, one_body_tensor, two_body_tensor, norb, nelec,
+        spin_shift=0.0 if spin_sq is None else float(shift),
+        spin_target=0.0 if spin_sq is None else float(spin_sq),
+        dtype=jnp.float64, pad_to=pad_to,
+    )
+    ham = ham64.astype(solver_dtype)
+    mp, np_ = ham.shape
+    hd_flat = ham.hdiag.reshape(-1)
+    scale = float(jnp.max(jnp.abs(jnp.where(jnp.abs(hd_flat) > 1e20, 0.0, hd_flat))))
+    eps = float(jnp.finfo(solver_dtype).eps)
+    tol_eff = max(tol, 32 * eps * max(1.0, scale))
+    v0 = davidson_initial_guess_k(hd_flat, k, solver_dtype)
+    res = davidson_lowest_k(
+        sci_matvec_flat, ham, hd_flat, v0,
+        k=k, tol=tol_eff, max_subspace=max(max_subspace, 2 * k + 6),
+        max_iterations=max_cycle,
+    )
+    out: list[SCIResult] = []
+    for i in range(k):
+        vec_pad = res.vectors[i].astype(jnp.float64).reshape(mp, np_)
+        vec_pad = vec_pad / jnp.linalg.norm(vec_pad)
+        rdms = rdm_ops.make_rdms(ham64, vec_pad, pa, pb)
+        dm1 = np.asarray(rdms["dm1a"] + rdms["dm1b"])
+        dm2 = np.asarray(rdms["dm2"])
+        occupancies = (
+            np.diagonal(np.asarray(rdms["dm1a"])).copy(),
+            np.diagonal(np.asarray(rdms["dm1b"])).copy(),
+        )
+        energy = float(
+            hamiltonian_ops.expectation_value(
+                ham64, vec_pad.reshape(-1), spin_penalty=False
+            )
+        )
+        state = SCIState(
+            amplitudes=np.asarray(vec_pad[:m, :n]),
+            ci_strs_a=strs_a,
+            ci_strs_b=strs_b,
+            norb=norb,
+            nelec=tuple(int(x) for x in nelec),
+        )
+        out.append(
+            SCIResult(energy, state, orbital_occupancies=occupancies, rdm1=dm1, rdm2=dm2)
+        )
+    return out
 
 
 def solve_sci_batch(
@@ -619,6 +704,12 @@ def diagonalize_fermionic_hamiltonian(
     current_energy: float | None = None
     if sci_solver is None:
         opts = dict(solver_options or {})
+        if "table_cache" not in opts:
+            # reuse the set-independent per-string table halves across
+            # iterations (string sets overlap heavily through carryover)
+            from .ops.table_cache import TableCache
+
+            opts["table_cache"] = TableCache()
         sci_solver = lambda cs, h1, h2, no, ne: solve_sci_batch(  # noqa: E731
             cs, h1, h2, no, ne, **opts
         )

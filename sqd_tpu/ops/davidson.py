@@ -32,7 +32,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["davidson_ground_state", "davidson_initial_guess", "DavidsonResult"]
+__all__ = [
+    "davidson_ground_state",
+    "davidson_initial_guess",
+    "davidson_initial_guess_k",
+    "davidson_lowest_k",
+    "DavidsonResult",
+    "DavidsonKResult",
+]
 
 
 def davidson_initial_guess(hdiag: jax.Array, dtype=None) -> jax.Array:
@@ -61,6 +68,31 @@ class DavidsonResult(NamedTuple):
     residual_norm: jax.Array
     iterations: jax.Array
     converged: jax.Array
+
+
+class DavidsonKResult(NamedTuple):
+    thetas: jax.Array  # (k,) lowest Ritz values, ascending
+    vectors: jax.Array  # (k, dim) normalized Ritz vectors
+    residual_norms: jax.Array  # (k,)
+    iterations: jax.Array
+    converged: jax.Array  # all k residuals below tol
+
+
+def davidson_initial_guess_k(hdiag: jax.Array, k: int, dtype=None) -> jax.Array:
+    """(k, dim) start block: one-hots at the k smallest diagonal entries.
+
+    Each row gets the same diagonal-weighted spread as
+    :func:`davidson_initial_guess` so disconnected blocks cannot trap a Ritz
+    pair; rows are linearly independent by construction (distinct spikes).
+    """
+    dtype = hdiag.dtype if dtype is None else dtype
+    finite = jnp.where(jnp.abs(hdiag) > 1e20, jnp.inf, hdiag)
+    lo = jnp.min(finite)
+    spread = 1.0 / (finite - lo + 1.0)
+    spread = spread / jnp.linalg.norm(spread)
+    _, idx = jax.lax.top_k(-finite, k)
+    block = jnp.tile(spread[None, :] * 0.2, (k, 1))
+    return block.at[jnp.arange(k), idx].add(1.0).astype(dtype)
 
 
 class _State(NamedTuple):
@@ -391,4 +423,178 @@ def _davidson_inner(
         residual_norm=final.rnorm,
         iterations=final.it,
         converged=final.done,
+    )
+
+
+class _KState(NamedTuple):
+    v: jax.Array  # (mss, dim) basis
+    w: jax.Array  # (mss, dim) H @ basis
+    t: jax.Array  # (mss, mss) Gram matrix
+    m: jax.Array  # active subspace size
+    thetas: jax.Array  # (k,) current Ritz values
+    u: jax.Array  # (k, dim) Ritz vectors
+    hu: jax.Array  # (k, dim) H @ u
+    rnorms: jax.Array  # (k,)
+    it: jax.Array
+    done: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("matvec", "k", "max_subspace", "max_iterations", "axis_name"),
+)
+def davidson_lowest_k(
+    matvec: Callable,
+    operator,
+    hdiag: jax.Array,
+    v0: jax.Array,
+    *,
+    k: int,
+    tol: float = 1e-5,
+    max_subspace: int = 32,
+    max_iterations: int = 300,
+    axis_name=None,
+) -> DavidsonKResult:
+    """Block Davidson: the k lowest eigenpairs of an implicit symmetric operator.
+
+    Same contract as :func:`davidson_ground_state` generalized to a block —
+    the device-side replacement for ``scipy.sparse.linalg.eigsh(..., k=k,
+    which="SA")`` (reference ``qubit.py:73``) and the source of fermionic
+    excited states.  ``v0`` is a ``(k, dim)`` start block (see
+    :func:`davidson_initial_guess_k`); each iteration expands the shared
+    Krylov space with the preconditioned residual of the lowest unconverged
+    Ritz pair, and thick restarts always retain at least ``k + 2`` Ritz
+    vectors, so converged pairs are never lost.
+    """
+    if k >= max_subspace - 2:
+        raise ValueError(f"max_subspace ({max_subspace}) must exceed k + 2 ({k + 2})")
+    with jax.default_matmul_precision("highest"):
+        return _davidson_k_inner(
+            matvec, operator, hdiag, v0,
+            k=k, tol=tol, max_subspace=max_subspace,
+            max_iterations=max_iterations, axis_name=axis_name,
+        )
+
+
+def _davidson_k_inner(
+    matvec, operator, hdiag, v0, *, k, tol, max_subspace, max_iterations, axis_name
+) -> DavidsonKResult:
+    dim = hdiag.shape[0]
+    dt = v0.dtype
+    mss = max_subspace
+    eps = float(jnp.finfo(dt).tiny) ** 0.5
+
+    if axis_name is None:
+        _allsum = lambda x: x  # noqa: E731
+    else:
+        _allsum = partial(jax.lax.psum, axis_name=axis_name)
+
+    def _norm(a):
+        return jnp.sqrt(jnp.real(_allsum(jnp.vdot(a, a))))
+
+    def _row_norms(x):
+        return jnp.sqrt(jnp.real(_allsum(jnp.sum(x * x.conj(), axis=1))))
+
+    def orthonormalize(t_vec, v, m):
+        active = (jnp.arange(mss) < m).astype(dt)
+        for _ in range(2):
+            coeffs = _allsum(v.conj() @ t_vec) * active
+            t_vec = t_vec - v.T @ coeffs
+        nrm = _norm(t_vec)
+        return t_vec / jnp.maximum(nrm, eps), nrm
+
+    # seed the basis with the orthonormalized start block (k matvecs)
+    v_buf = jnp.zeros((mss, dim), dt)
+    w_buf = jnp.zeros((mss, dim), dt)
+    for i in range(k):
+        row, _ = orthonormalize(v0[i], v_buf, jnp.asarray(i))
+        v_buf = v_buf.at[i].set(row)
+        w_buf = w_buf.at[i].set(matvec(operator, row))
+    t_buf = jnp.zeros((mss, mss), dt)
+    blk = _allsum(v_buf[:k].conj() @ w_buf[:k].T)
+    blk = 0.5 * (blk + blk.conj().T)  # symmetrize roundoff
+    t_buf = t_buf.at[:k, :k].set(blk)
+
+    def ritz(v, w, t, m):
+        vals, vecs = _masked_eigh(t, m)
+        thetas = vals[:k]
+        y = vecs[:, :k]  # (mss, k)
+        u = y.T @ v
+        hu = y.T @ w
+        rnorms = _row_norms(hu - thetas[:, None] * u)
+        return thetas, u, hu, rnorms
+
+    thetas0, u0, hu0, rnorms0 = ritz(v_buf, w_buf, t_buf, jnp.asarray(k))
+    state = _KState(
+        v=v_buf, w=w_buf, t=t_buf, m=jnp.asarray(k),
+        thetas=thetas0, u=u0, hu=hu0, rnorms=rnorms0,
+        it=jnp.asarray(0), done=jnp.all(rnorms0 < tol),
+    )
+
+    def precondition(r, theta):
+        clamp = 1e-3 * (1.0 + jnp.abs(theta))
+        denom = hdiag - theta
+        safe = jnp.where(denom == 0, 1.0, denom)
+        denom = jnp.where(
+            jnp.abs(denom) < clamp, jnp.where(safe < 0, -clamp, clamp), denom
+        )
+        return r / denom
+
+    keep = min(max(k + 2, min(mss // 3, 8)), mss - 2)
+
+    def body(s: _KState) -> _KState:
+        # lowest unconverged Ritz pair drives the expansion
+        unconv = s.rnorms >= tol
+        pick = jnp.argmax(jnp.where(unconv, jnp.arange(k, 0, -1), 0))
+        r = s.hu[pick] - s.thetas[pick] * s.u[pick]
+        pre = precondition(r, s.thetas[pick])
+        pre_norm = _norm(pre)
+        t_pre, nrm_pre = orthonormalize(pre, s.v, s.m)
+        dep_eps = 64 * jnp.finfo(jnp.finfo(dt).dtype).eps
+        pre_dead = nrm_pre <= dep_eps * jnp.maximum(pre_norm, eps)
+        t_raw, nrm_raw = orthonormalize(r, s.v, s.m)
+        t_new = jnp.where(pre_dead, t_raw, t_pre)
+        stalled = pre_dead & (nrm_raw <= dep_eps * jnp.maximum(s.rnorms[pick], eps))
+
+        def stalled_exit(s: _KState) -> _KState:
+            return s._replace(it=s.it + 1, done=jnp.asarray(True))
+
+        def expand(s: _KState) -> _KState:
+            def do_restart(s: _KState) -> _KState:
+                vals, vecs = _masked_eigh(s.t, s.m)
+                y = vecs[:, :keep]
+                v = jnp.zeros_like(s.v).at[:keep].set(y.T @ s.v)
+                w = jnp.zeros_like(s.w).at[:keep].set(y.T @ s.w)
+                t = jnp.zeros_like(s.t).at[jnp.arange(keep), jnp.arange(keep)].set(
+                    vals[:keep].astype(s.t.dtype)
+                )
+                return s._replace(v=v, w=w, t=t, m=jnp.asarray(keep))
+
+            s = jax.lax.cond(s.m >= mss, do_restart, lambda x: x, s)
+            t_ortho, _ = orthonormalize(t_new, s.v, s.m)
+            w_new = matvec(operator, t_ortho)
+            v = s.v.at[s.m].set(t_ortho)
+            w = s.w.at[s.m].set(w_new)
+            col = _allsum(v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
+            t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
+            m = s.m + 1
+            thetas, u, hu, rnorms = ritz(v, w, t, m)
+            return _KState(
+                v=v, w=w, t=t, m=m, thetas=thetas, u=u, hu=hu, rnorms=rnorms,
+                it=s.it + 1, done=jnp.all(rnorms < tol),
+            )
+
+        return jax.lax.cond(stalled, stalled_exit, expand, s)
+
+    def cond(s: _KState):
+        return (~s.done) & (s.it < max_iterations)
+
+    final = jax.lax.while_loop(cond, body, state)
+    u = final.u / jnp.maximum(_row_norms(final.u), eps)[:, None]
+    return DavidsonKResult(
+        thetas=final.thetas,
+        vectors=u,
+        residual_norms=final.rnorms,
+        iterations=final.it,
+        converged=final.done & jnp.all(final.rnorms < tol),
     )

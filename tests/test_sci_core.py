@@ -379,3 +379,30 @@ def test_spin_square_and_penalty():
         h_dense @ v.reshape(-1) + 0.3 * (s2_dense @ v.reshape(-1) - 2.0 * v.reshape(-1))
     ).reshape(m, m)
     np.testing.assert_allclose(np.asarray(ham_pen.matvec(jnp.asarray(v))), expected_pen, atol=1e-10)
+
+
+def test_solve_sci_excited_k3_vs_dense():
+    """k=3 fermionic excited states pinned against the dense oracle (VERDICT r2 #7)."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.fermion import solve_sci_excited
+    from sqd_tpu.ops import dense_fci
+
+    rng = np.random.default_rng(41)
+    norb = 6
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    L = rng.normal(size=(12, norb, norb)) * 0.3
+    L = (L + L.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", L, L)
+    all_strs = dense_fci.all_hamming_strings(norb, 3)
+    sel = np.sort(rng.choice(all_strs, 12, replace=False))
+    results = solve_sci_excited((sel, sel), h1, eri, norb, (3, 3), k=3, tol=1e-9)
+    h_dense = dense_fci.build_dense_hamiltonian(sel, sel, h1, eri)
+    w = np.linalg.eigvalsh(h_dense)
+    got = [r.energy for r in results]
+    np.testing.assert_allclose(got, w[:3], atol=1e-8)
+    # occupancies of each state sum to the electron counts
+    for r in results:
+        occ_a, occ_b = r.orbital_occupancies
+        assert abs(occ_a.sum() - 3) < 1e-8 and abs(occ_b.sum() - 3) < 1e-8
