@@ -22,7 +22,9 @@ __all__ = [
     "desdes_unique",
     "popcount_rows",
     "gather_tables",
+    "gather_values",
     "samespin_tables",
+    "samespin_values",
 ]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -106,6 +108,15 @@ def _load():
         lib.samespin_candidates.restype = None
         lib.connected_membership64.argtypes = [u32p, ctypes.c_int64, u32p, i64p]
         lib.connected_membership64.restype = None
+        lib.gather_values.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, u32p, i8p,
+        ]
+        lib.gather_values.restype = None
+        lib.samespin_values.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f64p, f64p, u32p, f64p, ctypes.c_int64,
+        ]
+        lib.samespin_values.restype = None
         _lib = lib
         return _lib
 
@@ -191,6 +202,55 @@ def gather_tables(strs_packed: np.ndarray, norb: int):
     sign = np.empty((norb * norb, n), dtype=np.int8)
     lib.gather_tables(strs_packed, n, w, norb, src, sign)
     return src, sign
+
+
+def gather_values(strs_packed: np.ndarray, norb: int):
+    """SET-INDEPENDENT single-excitation candidates per string.
+
+    Returns ``(vals, sign)`` with ``vals`` of shape ``(norb^2, n, W)`` uint32
+    — the source string ``I = J - p + q`` for every pair and target — and
+    ``sign (norb^2, n)`` int8 (0 where the excitation is invalid on ``J``).
+    Membership against a string set is NOT resolved here; that is the cheap,
+    per-set half done by :mod:`sqd_tpu.ops.table_cache`.  ``None`` when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    strs_packed = np.ascontiguousarray(strs_packed, dtype=np.uint32)
+    n, w = strs_packed.shape
+    vals = np.empty((norb * norb, n, w), dtype=np.uint32)
+    sign = np.empty((norb * norb, n), dtype=np.int8)
+    lib.gather_values(strs_packed, n, w, norb, vals, sign)
+    return vals, sign
+
+
+def samespin_values(strs_packed, h1e, eri, norb: int, nelec: int):
+    """SET-INDEPENDENT Slater-Condon neighbor candidates per string.
+
+    Returns ``(nbr, val)`` with ``nbr (n, width, W)`` uint32 neighbor strings
+    (row layout [diagonal, singles, doubles]) and ``val (n, width)`` f64
+    signed matrix elements — no membership filtering.  ``None`` when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    strs_packed = np.ascontiguousarray(strs_packed, dtype=np.uint32)
+    n, w = strs_packed.shape
+    nv = norb - nelec
+    n_singles = nelec * nv
+    n_doubles = (nelec * (nelec - 1) // 2) * (nv * (nv - 1) // 2)
+    width_full = 1 + n_singles + n_doubles
+    nbr = np.empty((n, width_full, w), dtype=np.uint32)
+    val = np.empty((n, width_full), dtype=np.float64)
+    lib.samespin_values(
+        strs_packed, n, w, norb, nelec,
+        np.ascontiguousarray(h1e, np.float64),
+        np.ascontiguousarray(eri, np.float64),
+        nbr, val, width_full,
+    )
+    return nbr, val
 
 
 def samespin_tables(strs_packed, h1e, eri, norb: int, nelec: int, *, bucket: int = 8):

@@ -889,6 +889,7 @@ def build_sci_hamiltonian(
     pad_to: tuple[int, int] | None = None,
     col_block: int | str = "auto",
     tables_backend: str = "auto",
+    table_cache=None,
 ) -> SCIHamiltonian:
     """Assemble the device-resident projected Hamiltonian.
 
@@ -902,6 +903,10 @@ def build_sci_hamiltonian(
         pad_to: optional (M_pad, N_pad) — padded determinants are inert
             (sentinel gather entries, huge hdiag) so bucketing subspace sizes
             avoids XLA recompilation storms (SURVEY.md §7 hard part #2).
+        table_cache: optional :class:`sqd_tpu.ops.table_cache.TableCache` —
+            reuses the set-independent per-string halves of the table build
+            across calls whose string sets overlap (the orchestrator's
+            carryover regime); membership is re-resolved per set.
     """
     strs_a = jnp.asarray(strs_a_packed)
     strs_b = jnp.asarray(strs_b_packed)
@@ -937,14 +942,22 @@ def build_sci_hamiltonian(
     if use_native:
         from .. import native
 
-        src_a_h, sign_a_h = native.gather_tables(strs_a_packed, norb)
-        src_b_h, sign_b_h = native.gather_tables(strs_b_packed, norb)
-        src_a, sign_a = jnp.asarray(src_a_h), jnp.asarray(sign_a_h)
-        src_b, sign_b = jnp.asarray(src_b_h), jnp.asarray(sign_b_h)
         h1_np = np.asarray(h1e, np.float64)
         eri_np = np.asarray(eri, np.float64)
-        ia, va = native.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
-        ib, vb = native.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
+        if table_cache is not None and table_cache.usable(
+            np.asarray(strs_a_packed, np.uint32)
+        ):
+            src_a_h, sign_a_h = table_cache.gather_tables(strs_a_packed, norb)
+            src_b_h, sign_b_h = table_cache.gather_tables(strs_b_packed, norb)
+            ia, va = table_cache.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
+            ib, vb = table_cache.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
+        else:
+            src_a_h, sign_a_h = native.gather_tables(strs_a_packed, norb)
+            src_b_h, sign_b_h = native.gather_tables(strs_b_packed, norb)
+            ia, va = native.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
+            ib, vb = native.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
+        src_a, sign_a = jnp.asarray(src_a_h), jnp.asarray(sign_a_h)
+        src_b, sign_b = jnp.asarray(src_b_h), jnp.asarray(sign_b_h)
         nbr_idx_a, nbr_val_a = jnp.asarray(ia), jnp.asarray(va, dtype)
         nbr_idx_b, nbr_val_b = jnp.asarray(ib), jnp.asarray(vb, dtype)
     else:
