@@ -53,6 +53,12 @@ __all__ = [
     "expectation_value",
 ]
 
+# MXU precision of the fused Pallas cross-spin matmul (the f32 Davidson
+# stage).  Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST; measured on
+# chip, HIGHEST here costs bf16x3-grade error (~1.4e-6 relative), i.e. it is
+# already the 3-pass scheme — keep it.
+PALLAS_MATMUL_PRECISION = "highest"
+
 
 # ---------------------------------------------------------------------------
 # same-spin sparse neighbor tables (Slater-Condon within one spin sector)
@@ -479,9 +485,15 @@ class SCIHamiltonian(SCIBasis):
             pallas_matvec.FORCE_INTERPRET
             and jax.default_backend() not in pallas_matvec.TPU_BACKENDS
         )
+        n_a = int(self.nelec[0])
+        ka = min(
+            self.norb * self.norb, -(-(n_a * (self.norb - n_a + 1)) // 8) * 8
+        )
         sigma = pallas_matvec.cross_spin_matvec(
             c, self.src_a, self.sign_a, self.src_b, self.sign_b, eri_eff,
+            ka=ka,
             interpret=interpret,
+            precision=PALLAS_MATMUL_PRECISION,
         )
         with jax.default_matmul_precision("highest"):
             sigma = sigma + self.apply_samespin_alpha(c) + self.apply_samespin_beta(c)

@@ -63,8 +63,10 @@ def test_supports_shape_gates():
 def test_interpret_matches_xla_cross_spin(ham_and_vec):
     ham, c = ham_and_vec
     ref = ham._matvec_full(c) - ham.apply_samespin_alpha(c) - ham.apply_samespin_beta(c)
+    ka = -(-(3 * (8 - 3 + 1)) // 8) * 8  # ne*(norb-ne+1) rounded to 8
     out = cross_spin_matvec(
-        c, ham.src_a, ham.sign_a, ham.src_b, ham.sign_b, ham.eri_t, interpret=True
+        c, ham.src_a, ham.sign_a, ham.src_b, ham.sign_b, ham.eri_t,
+        ka=ka, interpret=True,
     )
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-5 * max(scale, 1.0)
