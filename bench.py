@@ -162,7 +162,11 @@ def main():
     _ = float(jnp.sum(ham32.nbr_val_a)) + float(jnp.sum(hd32))
     t_build = time.perf_counter() - t_build0
 
-    def solve():
+    # ONE jitted program for init + Davidson + f64 energy: the tunnel adds
+    # ~27 ms dispatch latency PER host->device call, so splitting these into
+    # separate calls taxes the 0.4 s headline by ~15-20%.
+    @jax.jit
+    def _solve_fused(ham32, ham64, hd32):
         v0 = davidson_initial_guess(hd32, jnp.float32)
         res = davidson_ground_state(
             sci_matvec_flat, ham32, hd32, v0, tol=1e-3, max_subspace=24, max_iterations=200
@@ -171,13 +175,11 @@ def main():
         # both ~12x slower AND only ~1e-5-accurate (f32-grade MXU
         # accumulation); this path is ~1e-9 vs host-f64 ground truth.
         energy = expectation_value(ham64, res.vector)
-        return (
-            float(energy),
-            int(res.iterations),
-            float(res.residual_norm),
-            bool(res.converged),
-            res.vector,
-        )
+        return energy, res.iterations, res.residual_norm, res.converged, res.vector
+
+    def solve():
+        energy, iters, rnorm, converged, vec = _solve_fused(ham32, ham64, hd32)
+        return float(energy), int(iters), float(rnorm), bool(converged), vec
 
     # warm-up (compile)
     energy, iters, rnorm, converged, vec = solve()

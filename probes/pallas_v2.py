@@ -58,11 +58,15 @@ def chain(f, reps=50):
     s = float(run(c))
     return (time.perf_counter() - t0 - 0.027) / reps
 
-for prec in ("highest", "default"):  # default: timing-only (1-pass bf16)
-    t = chain(lambda c: cross_spin_matvec(
-        c, ham.src_a, ham.sign_a, ham.src_b, ham.sign_b, ham.eri_t,
-        ka=ka, precision=prec))
-    print(f"cross-spin pallas v2 prec={prec}: {t*1e3:.2f} ms", flush=True)
+from sqd_tpu.ops.pallas_matvec import fused_matvec
+ref_full = ham._matvec_full(c)
+out_full = ham._matvec_pallas(c)
+print(f"fused full-matvec max abs err: {float(jnp.max(jnp.abs(out_full - ref_full))):.3e}", flush=True)
+t = chain(lambda c: fused_matvec(
+    c, ham.src_a, ham.sign_a, ham.src_b, ham.sign_b,
+    ham.nbr_idx_a, ham.nbr_val_a, ham.nbr_idx_b, ham.nbr_val_b,
+    ham.eri_t, ka=ka))
+print(f"fused matvec (all 3 channels): {t*1e3:.2f} ms", flush=True)
 
 t_full = chain(lambda c: ham.matvec(c))
 print(f"full matvec (pallas dispatch): {t_full*1e3:.2f} ms", flush=True)

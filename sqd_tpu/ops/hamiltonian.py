@@ -466,6 +466,11 @@ class SCIHamiltonian(SCIBasis):
     def _matvec_pallas(self, c: jax.Array) -> jax.Array:
         """Cross-spin channel via the fused Pallas kernel (+ XLA same-spin).
 
+        Fusing the same-spin channels INTO the kernel was tried and measured
+        SLOWER on chip (21.4 ms vs 16.0 ms composed at 1e6 dets): the
+        scalar-driven neighbor-row loop and a second lane-pick cost more on
+        the VPU than the XLA einsum-gathers cost in HBM traffic.
+
         The spin penalty's mixed term ``-shift * sum_pq E^a_pq E^b_qp`` has
         the same (coefficient x alpha-gather x beta-scatter) shape as the
         cross-spin contraction, so it rides the same kernel: subtract

@@ -35,6 +35,28 @@ neighbor-list channels and the spin penalty stay on the XLA path (they are
 cheap and gather-shaped differently); see ``SCIHamiltonian.matvec`` for the
 dispatch.
 
+Measured design space (v5e, 1e6 dets — negative results recorded so they are
+not re-tried):
+
+* cross-spin v2 (this file): 10.7 ms; full matvec 16.0 ms; solve 0.36 s.
+* Mosaic ``dot_general`` supports only DEFAULT and HIGHEST precision, and
+  HIGHEST already costs bf16x3 grade (measured 1.4e-6 rel) — the matmul is
+  ~1.4 ms, not the bottleneck.
+* The beta lane-pick (~6.5 ms) is the floor-setter: an arbitrary 1024->128
+  lane route needs ``nblk`` masked gathers per output block (lane gathers
+  cannot cross a 128-lane vreg).  Every variant that amortizes the
+  compare/select re-adds the cost elsewhere or blows VMEM: per-(t,s) f32
+  masks = 8 MB; dustbin-lane per-s i32 index tables = 8 MB; i8 tables need a
+  per-use convert.  A sorted-bucket beta layout (source block lane-constant
+  per pair-range, exploiting that sorted packed strings group by high bits)
+  would cut the pick ~nblk-fold but its bucket-capacity padding inflates
+  ``c`` and the beta tables ~2x — out of VMEM on this chip, and
+  data-dependent bucket boundaries would force per-iteration recompiles.
+* Fusing the same-spin channels INTO the kernel was implemented and measured
+  SLOWER (21.4 ms all-channel kernel vs 16.0 ms composed): the scalar-driven
+  neighbor-row loop and a second lane-pick cost more on the VPU than the XLA
+  einsum-gathers cost in HBM traffic.
+
 Reference behavior: PySCF ``contract_2e`` (reference fermion.py:505-516 calls
 through ``pyscf.fci.selected_ci``); this kernel is its TPU replacement.
 """
