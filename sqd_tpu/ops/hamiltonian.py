@@ -547,7 +547,104 @@ class SCIHamiltonian(SCIBasis):
         with jax.default_matmul_precision("highest"):
             if g_bytes <= 4 * 1024**3:
                 return self.__matvec_blocked(c)
-            return self.__matvec_blocked_beta_first(c)
+            return self.__matvec_blocked_beta_first_rowmajor(c)
+
+    def __matvec_blocked_beta_first_rowmajor(self, c: jax.Array) -> jax.Array:
+        """Beta-first single pass tuned to XLA's measured gather behavior.
+
+        Measured on a v5e at the 1.9e7-determinant CASCI shape (cb = 128):
+        XLA gathers run at full bandwidth for large slices (the 17 KB beta
+        row gathers: 1.5 ms/573 MB) but are SLICE-COUNT-bound at ~17 ns per
+        slice for small ones — the naive alpha pick issues ``npair * M``
+        512-byte slices and took 19 ms of the ~25 ms block.  Two fixes:
+
+        * beta gathers read ROWS of the once-per-matvec transposed ``c``
+          (contiguous ``m*4``-byte runs), with one bulk (full-bandwidth)
+          transpose per block restoring the alpha-pick layout;
+        * the alpha pick is COMPACTED to the ~``ne*(norb-ne+1)`` valid pairs
+          per alpha row (same observation as the Pallas kernel): 4x fewer
+          slices and none of the 77% zero-sign traffic.
+        """
+        dt = c.dtype
+        m, n = c.shape
+        npair = self.norb * self.norb
+        cb = self.col_block
+        nblk = n // cb
+        if n % cb:
+            raise ValueError(f"N = {n} must be a multiple of col_block = {cb}")
+        ct = c.T  # (n, m): beta gathers become contiguous row reads
+        sign_a_f = self.sign_a.astype(dt)
+        sign_b_f = self.sign_b.astype(dt)
+        # compact per-row valid-pair flat indices into g2t.reshape(npair*m, cb)
+        n_a = int(self.nelec[0])
+        ka = min(npair, n_a * (self.norb - n_a + 1))
+        valid_a = self.sign_a != 0  # (npair, M)
+        order_a = jnp.argsort(~valid_a, axis=0, stable=True)[:ka]  # (ka, M)
+        ok_a = jnp.take_along_axis(valid_a, order_a, axis=0)
+        src_sel = jnp.take_along_axis(self.src_a.astype(jnp.int32), order_a, axis=0)
+        flat_rows = (order_a.astype(jnp.int32) * m + src_sel).T  # (M, ka)
+        sign_sel = jnp.where(
+            ok_a, jnp.take_along_axis(sign_a_f, order_a, axis=0), 0
+        ).T  # (M, ka)
+        nbr_val_a_f = self.nbr_val_a.astype(dt)
+        nbr_val_b_f = self.nbr_val_b.astype(dt)
+        eri_m = self.eri_t.astype(dt).T  # [pq, rs] = (pq|rs)
+        with_penalty = self.spin_shift != 0.0
+        if with_penalty:
+            perm = jnp.asarray(self._qp_perm())
+            src_qp = self.src_b[perm]
+            sign_qp = self.sign_b[perm].astype(dt)
+            n_a, n_b = self.nelec
+            sz = 0.5 * (n_a - n_b)
+            s2_const = sz * sz + sz + n_b
+
+        def block(i, sigma):
+            src_b_blk = jax.lax.dynamic_slice(self.src_b, (0, i * cb), (npair, cb))
+            sgn_b_blk = jax.lax.dynamic_slice(sign_b_f, (0, i * cb), (npair, cb))
+            # D_b in (npair, cb, m): row gathers of ct (contiguous m-runs)
+            db = ct[src_b_blk] * sgn_b_blk[:, :, None]
+            g2 = jnp.matmul(
+                eri_m, db.reshape(npair, cb * m), preferred_element_type=dt
+            ).reshape(npair, cb, m)
+            # bulk layout change -> (npair, m, cb) so the alpha picks below
+            # read contiguous cb-runs
+            g2 = jnp.transpose(g2, (0, 2, 1))
+            picked = jnp.take(g2.reshape(npair * m, cb), flat_rows.reshape(-1), axis=0)
+            sig_blk = jnp.einsum(
+                "mk,mkc->mc", sign_sel, picked.reshape(m, ka, cb)
+            )
+            # same-spin alpha on this column block (row gathers of c_blk)
+            c_blk = jax.lax.dynamic_slice(c, (0, i * cb), (m, cb))
+            sig_blk = sig_blk + jnp.einsum(
+                "jl,jlc->jc", nbr_val_a_f, c_blk[self.nbr_idx_a]
+            )
+            # same-spin beta for these output columns: row gathers of ct
+            idx_b_blk = jax.lax.dynamic_slice(
+                self.nbr_idx_b, (i * cb, 0), (cb, self.nbr_idx_b.shape[1])
+            )
+            val_b_blk = jax.lax.dynamic_slice(
+                nbr_val_b_f, (i * cb, 0), (cb, nbr_val_b_f.shape[1])
+            )
+            picked_b = ct[idx_b_blk]  # (cb, Lb, m)
+            sig_blk = sig_blk + jnp.einsum("kl,klm->mk", val_b_blk, picked_b)
+            if with_penalty:
+                srcq_blk = jax.lax.dynamic_slice(src_qp, (0, i * cb), (npair, cb))
+                sgnq_blk = jax.lax.dynamic_slice(sign_qp, (0, i * cb), (npair, cb))
+                # mixed term: d_a picked at the qp-permuted beta columns;
+                # gather rows of ct then columns via take_along_axis on m-axis
+                picked_m = ct[srcq_blk]  # (npair, cb, m)
+                picked_m = jnp.take_along_axis(
+                    jnp.transpose(picked_m, (0, 2, 1)),
+                    self.src_a[:, :, None].astype(jnp.int32),
+                    axis=1,
+                )  # (npair, m, cb)
+                mixed = jnp.einsum("pj,pc,pjc->jc", sign_a_f, sgnq_blk, picked_m)
+                sig_blk = sig_blk + self.spin_shift * (
+                    (s2_const - self.spin_target) * c_blk - mixed
+                )
+            return jax.lax.dynamic_update_slice(sigma, sig_blk, (0, i * cb))
+
+        return jax.lax.fori_loop(0, nblk, block, jnp.zeros((m, n), dt))
 
     def __matvec_blocked_beta_first(self, c: jax.Array) -> jax.Array:
         dt = c.dtype

@@ -406,3 +406,41 @@ def test_solve_sci_excited_k3_vs_dense():
     for r in results:
         occ_a, occ_b = r.orbital_occupancies
         assert abs(occ_a.sum() - 3) < 1e-8 and abs(occ_b.sum() - 3) < 1e-8
+
+
+def test_blocked_beta_first_variants_match_full():
+    """Both beta-first blocked matvecs == the full path (incl. spin penalty).
+
+    These are the 1e7-determinant strategies (dispatched when the G buffer
+    exceeds 4 GB); on small problems they are reached directly here.
+    """
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops import bitpack
+    from sqd_tpu.ops.dense_fci import all_hamming_strings
+    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian
+
+    rng = np.random.default_rng(51)
+    norb, ne = 6, 3
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    L = rng.normal(size=(12, norb, norb)) * 0.3
+    L = (L + L.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", L, L)
+    all_strs = all_hamming_strings(norb, ne)
+    sel_a = np.sort(rng.choice(all_strs, 14, replace=False))
+    sel_b = np.sort(rng.choice(all_strs, 16, replace=False))
+    pa = bitpack.pack_ints(sel_a, norb)
+    pb = bitpack.pack_ints(sel_b, norb)
+    for spin_shift in (0.0, 0.3):
+        ham = build_sci_hamiltonian(
+            pa, pb, h1, eri, norb, (ne, ne),
+            spin_shift=spin_shift, spin_target=0.0,
+            dtype=jnp.float64, pad_to=None, col_block=4,
+        )
+        c = jnp.asarray(rng.normal(size=ham.shape))
+        ref = ham._matvec_full(c)
+        out_old = ham._SCIHamiltonian__matvec_blocked_beta_first(c)
+        out_new = ham._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c)
+        np.testing.assert_allclose(np.asarray(out_old), np.asarray(ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out_new), np.asarray(ref), atol=1e-10)
