@@ -209,7 +209,9 @@ def main():
     try:
         if _SMALL:
             casci_detail = {"skipped": "SQD_BENCH_SMALL"}
-        elif time.perf_counter() - _T_START < 1500:
+        # budget EXCLUDES tunnel-session establishment (observed 2-1000+ s,
+        # varies wildly by session; it is fenced and reported separately)
+        elif time.perf_counter() - _T_START - t_session < 1500:
             from sqd_tpu.ops.dense_fci import all_hamming_strings
 
             strs_full = all_hamming_strings(norb, nelec[0])

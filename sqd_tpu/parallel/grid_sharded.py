@@ -96,25 +96,35 @@ def _gridsharded_matvec(op, x):
             w_bqp = jnp.where(valid_qp, op["sign_b_qp"], 0).astype(dt)
 
         # stream the (Mr, N) partials over pair blocks so the transient stays
-        # (npb, Mr, N) instead of (npair, Mr, N)
+        # (npb, Mr, N) instead of (npair, Mr, N).  Picks run against the
+        # TRANSPOSED intermediates: XLA gathers are slice-count-bound (~17 ns
+        # per slice measured on a v5e, see ops.hamiltonian), so the slices
+        # must be (Mr * 4)-byte rows, never 4-byte lane elements.
         nblk = max(1, int(round(math.sqrt(npair))))
         while npair % nblk:
             nblk -= 1
         npb = npair // nblk
+        offs = jnp.arange(npb, dtype=jnp.int32)[:, None] * ncl
 
         def blk(i, acc):
             sl = (i * npb, 0, 0)
             g_blk = jax.lax.dynamic_slice(g, sl, (npb, mr, ncl))
+            g_t = jnp.transpose(g_blk, (0, 2, 1)).reshape(npb * ncl, mr)
             w_blk = jax.lax.dynamic_slice(w_b, (i * npb, 0), (npb, n_total))
             l_blk = jax.lax.dynamic_slice(loc, (i * npb, 0), (npb, n_total))
-            picked = jnp.take_along_axis(g_blk, l_blk[:, None, :], axis=2)
-            acc = acc.at[0].add(jnp.sum(w_blk[:, None, :] * picked, axis=0))
+            picked = jnp.take(g_t, (l_blk + offs).reshape(-1), axis=0).reshape(
+                npb, n_total, mr
+            )
+            acc = acc.at[0].add(jnp.einsum("pj,pji->ij", w_blk, picked))
             if with_spin:
                 d_blk = jax.lax.dynamic_slice(d, sl, (npb, mr, ncl))
+                d_t = jnp.transpose(d_blk, (0, 2, 1)).reshape(npb * ncl, mr)
                 wq_blk = jax.lax.dynamic_slice(w_bqp, (i * npb, 0), (npb, n_total))
                 lq_blk = jax.lax.dynamic_slice(loc_qp, (i * npb, 0), (npb, n_total))
-                picked_m = jnp.take_along_axis(d_blk, lq_blk[:, None, :], axis=2)
-                acc = acc.at[1].add(jnp.sum(wq_blk[:, None, :] * picked_m, axis=0))
+                picked_m = jnp.take(
+                    d_t, (lq_blk + offs).reshape(-1), axis=0
+                ).reshape(npb, n_total, mr)
+                acc = acc.at[1].add(jnp.einsum("pj,pji->ij", wq_blk, picked_m))
             return acc
 
         nchan = 2 if with_spin else 1
@@ -134,11 +144,12 @@ def _gridsharded_matvec(op, x):
         sigma = sigma + jnp.einsum(
             "jl,jln->jn", op["nbr_val_a"].astype(dt), c_colpanel[op["nbr_idx_a"]]
         )
-        # same-spin beta: local output columns, neighbor columns global
+        # same-spin beta: local output columns, neighbor columns read as rows
+        # of the transposed row panel (contiguous Mr-slices)
         sigma = sigma + jnp.einsum(
-            "kl,mkl->mk",
+            "kl,klm->mk",
             op["nbr_val_b"].astype(dt),
-            jnp.take(c_rowpanel, op["nbr_idx_b"], axis=1),
+            c_rowpanel.T[op["nbr_idx_b"]],
         )
     return sigma.reshape(-1)
 

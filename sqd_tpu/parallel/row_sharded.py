@@ -46,7 +46,14 @@ _AXIS = "row"
 
 
 def _rowsharded_matvec(op, x):
-    """H applied to the local alpha-row shard of the flat direction vector."""
+    """H applied to the local alpha-row shard of the flat direction vector.
+
+    Gather orientation follows the on-chip measurement in
+    ``ops.hamiltonian.__matvec_blocked_beta_first_rowmajor``: XLA gathers are
+    slice-count-bound (~17 ns/slice on a v5e) — a ``take_along_axis`` over
+    the last axis issues 4-BYTE slices, so every beta pick here runs against
+    the TRANSPOSED intermediate (slices of ``m_loc * 4`` bytes instead).
+    """
     m_loc, n = op["hdiag"].shape
     dt = x.dtype
     c_loc = x.reshape(m_loc, n)
@@ -59,23 +66,30 @@ def _rowsharded_matvec(op, x):
         g = jnp.matmul(
             op["eri_t"].astype(dt), d.reshape(npair, -1), preferred_element_type=dt
         ).reshape(npair, m_loc, n)
-        picked = jnp.take_along_axis(
-            g, op["src_b"][:, None, :].astype(jnp.int32), axis=2
+        g_t = jnp.transpose(g, (0, 2, 1)).reshape(npair * n, m_loc)
+        rows = op["src_b"].astype(jnp.int32) + (
+            jnp.arange(npair, dtype=jnp.int32)[:, None] * n
         )
-        sigma = jnp.sum(op["sign_b"].astype(dt)[:, None, :] * picked, axis=0)
+        picked_t = jnp.take(g_t, rows.reshape(-1), axis=0).reshape(npair, n, m_loc)
+        sigma = jnp.einsum("pj,pji->ij", op["sign_b"].astype(dt), picked_t)
         # same-spin alpha: local output rows, neighbor rows are global
         sigma = sigma + jnp.einsum(
             "jl,jln->jn", op["nbr_val_a"].astype(dt), c_full[op["nbr_idx_a"]]
         )
-        # same-spin beta: column gathers, purely local
+        # same-spin beta: neighbor columns as rows of the transposed local c
+        ct_loc = c_loc.T  # (n, m_loc)
         sigma = sigma + jnp.einsum(
-            "kl,mkl->mk", op["nbr_val_b"].astype(dt), jnp.take(c_loc, op["nbr_idx_b"], axis=1)
+            "kl,klm->mk", op["nbr_val_b"].astype(dt), ct_loc[op["nbr_idx_b"]]
         )
         if "src_b_qp" in op:
-            picked_m = jnp.take_along_axis(
-                d, op["src_b_qp"][:, None, :].astype(jnp.int32), axis=2
+            d_t = jnp.transpose(d, (0, 2, 1)).reshape(npair * n, m_loc)
+            rows_qp = op["src_b_qp"].astype(jnp.int32) + (
+                jnp.arange(npair, dtype=jnp.int32)[:, None] * n
             )
-            mixed = jnp.sum(op["sign_b_qp"].astype(dt)[:, None, :] * picked_m, axis=0)
+            picked_m = jnp.take(d_t, rows_qp.reshape(-1), axis=0).reshape(
+                npair, n, m_loc
+            )
+            mixed = jnp.einsum("pj,pji->ij", op["sign_b_qp"].astype(dt), picked_m)
             shift = op["spin_shift"].astype(dt)
             const = op["spin_const"].astype(dt)  # sz(sz+1) + n_b - spin_target
             sigma = sigma + shift * (const * c_loc - mixed)

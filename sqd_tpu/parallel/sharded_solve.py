@@ -71,17 +71,26 @@ def _sharded_matvec(op, x):
             summed = jax.lax.psum(partial_g, _AXIS)
             g_loc = jnp.where(my == d, summed, g_loc)
 
-        # local beta scatter of my G' rows, then global sum
-        g3 = g_loc.reshape(npair_loc, m, n)
-        picked = jnp.take_along_axis(g3, op["src_b"][:, None, :].astype(jnp.int32), axis=2)
-        sigma = jnp.sum(op["sign_b"].astype(dt)[:, None, :] * picked, axis=0)
+        # local beta scatter of my G' rows, then global sum.  Picks run
+        # against the TRANSPOSED intermediate: XLA gathers are slice-count
+        # bound (~17 ns/slice measured on a v5e, see ops.hamiltonian), so the
+        # slices must be (m*4)-byte rows, never 4-byte lane elements.
+        g_t = g_loc.reshape(npair_loc, m, n).transpose(0, 2, 1).reshape(
+            npair_loc * n, m
+        )
+        rows = op["src_b"].astype(jnp.int32) + (
+            jnp.arange(npair_loc, dtype=jnp.int32)[:, None] * n
+        )
+        picked = jnp.take(g_t, rows.reshape(-1), axis=0).reshape(npair_loc, n, m)
+        sigma = jnp.einsum("pj,pji->ij", op["sign_b"].astype(dt), picked)
         sigma = jax.lax.psum(sigma, _AXIS)
 
         # same-spin neighbor lists (replicated, cheap)
         picked_a = c[op["nbr_idx_a"]]
         sigma = sigma + jnp.einsum("jl,jln->jn", op["nbr_val_a"].astype(dt), picked_a)
-        picked_b = jnp.take(c, op["nbr_idx_b"], axis=1)
-        sigma = sigma + jnp.einsum("kl,mkl->mk", op["nbr_val_b"].astype(dt), picked_b)
+        sigma = sigma + jnp.einsum(
+            "kl,klm->mk", op["nbr_val_b"].astype(dt), c.T[op["nbr_idx_b"]]
+        )
     return sigma.reshape(-1)
 
 
@@ -101,10 +110,13 @@ def _sharded_matvec_spin(op, x):
     c = x.reshape(m, n)
     with jax.default_matmul_precision("highest"):
         d_loc = op["sign_a"].astype(dt)[:, :, None] * c[op["src_a"]]
-        picked = jnp.take_along_axis(
-            d_loc, op["src_b_qp"][:, None, :].astype(jnp.int32), axis=2
+        npair_loc = d_loc.shape[0]
+        d_t = d_loc.transpose(0, 2, 1).reshape(npair_loc * n, m)
+        rows = op["src_b_qp"].astype(jnp.int32) + (
+            jnp.arange(npair_loc, dtype=jnp.int32)[:, None] * n
         )
-        mixed = jnp.sum(op["sign_b_qp"].astype(dt)[:, None, :] * picked, axis=0)
+        picked = jnp.take(d_t, rows.reshape(-1), axis=0).reshape(npair_loc, n, m)
+        mixed = jnp.einsum("pj,pji->ij", op["sign_b_qp"].astype(dt), picked)
         mixed = jax.lax.psum(mixed, _AXIS)
         shift = op["spin_shift"].astype(dt)
         const = op["spin_const"].astype(dt)  # sz(sz+1) + n_b - spin_target
