@@ -44,18 +44,17 @@ def chain(f, reps=6):
     s = float(run(c))
     return (time.perf_counter() - t0 - 0.027) / reps
 
-t_old = chain(lambda c: ham._SCIHamiltonian__matvec_blocked_beta_first(c))
-print(f"beta-first (column gathers): {t_old*1e3:.1f} ms", flush=True)
 t_new = chain(lambda c: ham._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c))
 print(f"beta-first row-major:        {t_new*1e3:.1f} ms", flush=True)
 
-# larger column block: slice-count-bound stages amortize ~cb/128-fold
-for cb_try in (640, 896):
-    ham_cb = build_sci_hamiltonian(pf, pf, h1, eri, norb, nelec,
-                                   dtype=jnp.float64, col_block=cb_try).astype(jnp.float32)
-    o = jax.jit(lambda c: ham_cb._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c))(c)
-    print(f"cb={cb_try}: diff vs cb=128 old: {float(jnp.max(jnp.abs(o - old(c)))):.2e}", flush=True)
+# does unrolling the block loop let XLA overlap independent blocks?
+import sqd_tpu.ops.hamiltonian as H
+for u in (2, 4):
+    H.BETA_FIRST_UNROLL = u
+    f = jax.jit(lambda c: ham._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c))
+    o = f(c)
+    print(f"unroll={u}: diff {float(jnp.max(jnp.abs(o - new(c)))):.2e}", flush=True)
     del o
-    t_cb = chain(lambda c: ham_cb._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c))
-    print(f"beta-first row-major cb={cb_try}: {t_cb*1e3:.1f} ms", flush=True)
-    del ham_cb
+    t_u = chain(lambda c: ham._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c))
+    print(f"beta-first row-major unroll={u}: {t_u*1e3:.1f} ms", flush=True)
+H.BETA_FIRST_UNROLL = 1

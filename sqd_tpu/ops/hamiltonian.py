@@ -59,6 +59,11 @@ __all__ = [
 # already the 3-pass scheme — keep it.
 PALLAS_MATMUL_PRECISION = "highest"
 
+# Unroll factor of the beta-first blocked matvec's column-block loop (the
+# 1e7-scale path).  >1 lets XLA overlap independent blocks' gathers/GEMMs at
+# the cost of proportionally larger live transients; tuned on hardware.
+BETA_FIRST_UNROLL = 1
+
 
 # ---------------------------------------------------------------------------
 # same-spin sparse neighbor tables (Slater-Condon within one spin sector)
@@ -710,7 +715,9 @@ class SCIHamiltonian(SCIBasis):
                 )
             return jax.lax.dynamic_update_slice(sigma, sig_blk, (0, i * cb))
 
-        return jax.lax.fori_loop(0, nblk, block, jnp.zeros((m, n), dt))
+        return jax.lax.fori_loop(
+            0, nblk, block, jnp.zeros((m, n), dt), unroll=BETA_FIRST_UNROLL
+        )
 
     def __matvec_blocked(self, c: jax.Array) -> jax.Array:
         dt = c.dtype
