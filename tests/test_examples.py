@@ -42,6 +42,7 @@ def _load(name: str):
         "09_choose_subspace_dimension.py",
         "10_excitation_augmentation.py",
         "11_real_molecule_n2.py",
+        "12_excited_states.py",
     ],
 )
 def test_example_runs(name, tmp_path, monkeypatch, capsys):
