@@ -26,7 +26,7 @@ __all__ = [
 @deprecate_func(
     since="0.2.0",
     package_name="sqd-tpu",
-    removal_timeline="no earlier than v0.3.0",
+    removal_timeline="no earlier than v0.4.0",
     additional_msg=("Instead, use the ``postselect_by_hamming_right_and_left`` function."),
 )
 def post_select_by_hamming_weight(
@@ -175,7 +175,7 @@ def subsample_device(
 @deprecate_func(
     since="0.2.0",
     package_name="sqd-tpu",
-    removal_timeline="no earlier than v0.3.0",
+    removal_timeline="no earlier than v0.4.0",
     additional_msg=(
         "Instead, use the ``postselect_by_hamming_right_and_left`` and ``subsample`` functions."
     ),
