@@ -109,7 +109,9 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERY compile (incl. sub-second convert/sum ops): at ~0.2-0.3 s
+    # apiece over the tunnel they otherwise recompile in every process
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from sqd_tpu.chem import Molecule, active_space_integrals, rhf

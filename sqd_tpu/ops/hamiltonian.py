@@ -64,6 +64,11 @@ PALLAS_MATMUL_PRECISION = "highest"
 # the cost of proportionally larger live transients; tuned on hardware.
 BETA_FIRST_UNROLL = 1
 
+# Problem size (padded M*N) above which the native build assembles the exact
+# f64 diagonal ON DEVICE from rank-structured pieces instead of moving the
+# materialized (M, N) array over the host->device link (tunnel: ~47 MB/s).
+DEVICE_DIAG_MIN_ELEMS = 4_000_000
+
 
 # ---------------------------------------------------------------------------
 # same-spin sparse neighbor tables (Slater-Condon within one spin sector)
@@ -984,6 +989,18 @@ def _hdiag_np(occ_a, occ_b, h1e, eri) -> np.ndarray:
     "f64" matmul accumulates at f32 grade — 1e-5-scale noise on entries of
     magnitude |E|.  NumPy work is O((M+N) * norb^2) + an (M, N) outer sum.
     """
+    a_part, b_part, w = _hdiag_parts_np(occ_a, occ_b, h1e, eri)
+    return a_part[:, None] + b_part[None, :] + occ_a @ w.T
+
+
+def _hdiag_parts_np(occ_a, occ_b, h1e, eri):
+    """Host-exact rank-structured pieces of the diagonal.
+
+    ``hd = a_part[:, None] + b_part[None, :] + occ_a @ w.T`` with
+    ``w = occ_b @ J^T`` — O((M+N) * norb^2) host work; the (M, N) assembly
+    can then run on device (:func:`_hdiag_device`) so only O((M+N)*norb)
+    operands ever cross the host->device link.
+    """
     h1e = np.asarray(h1e, np.float64)
     eri = np.asarray(eri, np.float64)
     hd = np.diagonal(h1e)
@@ -992,8 +1009,34 @@ def _hdiag_np(occ_a, occ_b, h1e, eri) -> np.ndarray:
     jk = jm - km
     a_part = occ_a @ hd + 0.5 * np.einsum("ip,pq,iq->i", occ_a, jk, occ_a)
     b_part = occ_b @ hd + 0.5 * np.einsum("ip,pq,iq->i", occ_b, jk, occ_b)
-    cross = occ_a @ jm @ occ_b.T
-    return a_part[:, None] + b_part[None, :] + cross
+    w = occ_b @ jm.T
+    return a_part, b_part, w
+
+
+@partial(jax.jit, static_argnames=("out_dtype",))
+def _hdiag_device(a_part, b_part, occ_a, w, *, out_dtype):
+    """Assemble the exact diagonal ON DEVICE from O((M+N)*norb) operands.
+
+    ``hd[i, j] = a_part[i] + b_part[j] + sum_p occ_a[i, p] * w[j, p]`` with
+    ``w = occ_b @ J^T`` precomputed exactly on the host.  Every device op is
+    ELEMENTWISE f64 (software-exact on TPU — the forbidden thing is f64
+    dot_generals, which accumulate at f32 grade): ``occ_a`` entries are 0/1
+    so each product is an exact selection, and the ``norb`` sequential f64
+    adds are rounding-correct.  Measured 5.4e-13 max abs error vs the host
+    f64 oracle at 1e6 dets (probes/table_build_split.py) — the win is never
+    moving the (M, N) f64 diagonal over the tunnel (156 MB at 1.9e7 dets,
+    ~3.3 s at the measured ~47 MB/s).
+    """
+    norb = occ_a.shape[1]
+
+    def body(p, acc):
+        col_a = jax.lax.dynamic_slice_in_dim(occ_a, p, 1, axis=1)  # (M, 1)
+        col_w = jax.lax.dynamic_slice_in_dim(w, p, 1, axis=1)  # (N, 1)
+        return acc + col_a * col_w.T
+
+    acc = a_part[:, None] + b_part[None, :]
+    acc = jax.lax.fori_loop(0, norb, body, acc)
+    return acc.astype(out_dtype)
 
 
 def build_sci_hamiltonian(
@@ -1029,9 +1072,7 @@ def build_sci_hamiltonian(
             across calls whose string sets overlap (the orchestrator's
             carryover regime); membership is re-resolved per set.
     """
-    strs_a = jnp.asarray(strs_a_packed)
-    strs_b = jnp.asarray(strs_b_packed)
-    m, n = strs_a.shape[0], strs_b.shape[0]
+    m, n = np.asarray(strs_a_packed).shape[0], np.asarray(strs_b_packed).shape[0]
     n_a, n_b = (int(x) for x in nelec)
     # Validate Hamming weight against nelec BEFORE any table build: the native
     # same-spin kernel sizes its occupied/virtual scratch from nelec, so a
@@ -1043,54 +1084,9 @@ def build_sci_hamiltonian(
             raise ValueError(
                 f"{name} CI strings have Hamming weight {bad}, expected nelec = {want}"
             )
-    h1e_d = jnp.asarray(h1e, dtype)
-    eri_d = jnp.asarray(eri, dtype)
-
-    # Table build: the native C++ host path avoids a per-shape XLA compile
-    # (minutes on a tunneled TPU) and is faster in absolute terms; the device
-    # path remains as reference/fallback and is exercised by tests directly.
-    use_native = False
-    if tables_backend == "auto":
-        from .. import native
-
-        use_native = native.available()
-    elif tables_backend == "native":
-        from .. import native
-
-        if not native.available():
-            raise RuntimeError("native tables requested but libsqdcore is unavailable")
-        use_native = True
-    if use_native:
-        from .. import native
-
-        h1_np = np.asarray(h1e, np.float64)
-        eri_np = np.asarray(eri, np.float64)
-        if table_cache is not None and table_cache.usable(
-            np.asarray(strs_a_packed, np.uint32)
-        ):
-            src_a_h, sign_a_h = table_cache.gather_tables(strs_a_packed, norb)
-            src_b_h, sign_b_h = table_cache.gather_tables(strs_b_packed, norb)
-            ia, va = table_cache.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
-            ib, vb = table_cache.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
-        else:
-            src_a_h, sign_a_h = native.gather_tables(strs_a_packed, norb)
-            src_b_h, sign_b_h = native.gather_tables(strs_b_packed, norb)
-            ia, va = native.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
-            ib, vb = native.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
-        src_a, sign_a = jnp.asarray(src_a_h), jnp.asarray(sign_a_h)
-        src_b, sign_b = jnp.asarray(src_b_h), jnp.asarray(sign_b_h)
-        nbr_idx_a, nbr_val_a = jnp.asarray(ia), jnp.asarray(va, dtype)
-        nbr_idx_b, nbr_val_b = jnp.asarray(ib), jnp.asarray(vb, dtype)
-    else:
-        src_a, sign_a = linktab.build_gather_tables(strs_a, norb)
-        src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
-        nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
-        nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
-    occ_a_h = _occupancy_np(np.asarray(strs_a_packed, np.uint32), norb)
-    occ_b_h = _occupancy_np(np.asarray(strs_b_packed, np.uint32), norb)
-    hd = jnp.asarray(_hdiag_np(occ_a_h, occ_b_h, h1e, eri), dtype)
-
     # --- choose the beta-column block size for the cross-spin channel -------
+    # (pure host logic — resolved BEFORE any transfer so the native path can
+    # pad on the host and ship final arrays in one batched device_put)
     npair = norb * norb
     m_pad, n_pad = pad_to if pad_to is not None else (m, n)
     if m_pad < m or n_pad < n:
@@ -1119,26 +1115,137 @@ def build_sci_hamiltonian(
     col_block = int(col_block)
     if col_block:
         n_pad = -(-n_pad // col_block) * col_block  # blocked pass needs N % cb == 0
-    pad_to = (m_pad, n_pad) if (m_pad, n_pad) != (m, n) else None
+    pad_m, pad_n = m_pad - m, n_pad - n
 
-    if pad_to is not None:
-        m_pad, n_pad = pad_to
-        # all tables are clamped (invalid -> index 0 with zero weight), so
-        # padding just extends them with zero-weight entries.
-        src_a = jnp.pad(src_a, ((0, 0), (0, m_pad - m)))
-        sign_a = jnp.pad(sign_a, ((0, 0), (0, m_pad - m)))
-        src_b = jnp.pad(src_b, ((0, 0), (0, n_pad - n)))
-        sign_b = jnp.pad(sign_b, ((0, 0), (0, n_pad - n)))
-        nbr_idx_a = jnp.pad(nbr_idx_a, ((0, m_pad - m), (0, 0)))
-        nbr_val_a = jnp.pad(nbr_val_a, ((0, m_pad - m), (0, 0)))
-        nbr_idx_b = jnp.pad(nbr_idx_b, ((0, n_pad - n), (0, 0)))
-        nbr_val_b = jnp.pad(nbr_val_b, ((0, n_pad - n), (0, 0)))
-        big = jnp.asarray(1e30, dtype)
-        hd = jnp.pad(hd, ((0, m_pad - m), (0, n_pad - n)), constant_values=big)
+    # Table build: the native C++ host path avoids a per-shape XLA compile
+    # (minutes on a tunneled TPU) and is faster in absolute terms; the device
+    # path remains as reference/fallback and is exercised by tests directly.
+    use_native = False
+    if tables_backend == "auto":
+        from .. import native
 
-    eri_t = jnp.asarray(
-        np.asarray(eri).reshape(norb * norb, norb * norb).T.copy(), dtype
-    )
+        use_native = native.available()
+    elif tables_backend == "native":
+        from .. import native
+
+        if not native.available():
+            raise RuntimeError("native tables requested but libsqdcore is unavailable")
+        use_native = True
+    occ_a_h = _occupancy_np(np.asarray(strs_a_packed, np.uint32), norb)
+    occ_b_h = _occupancy_np(np.asarray(strs_b_packed, np.uint32), norb)
+    np_dtype = np.dtype(dtype)
+    eri_t_h = np.ascontiguousarray(
+        np.asarray(eri, np.float64).reshape(npair, npair).T
+    ).astype(np_dtype, copy=False)
+    if use_native:
+        from .. import native
+
+        h1_np = np.asarray(h1e, np.float64)
+        eri_np = np.asarray(eri, np.float64)
+        if table_cache is not None and table_cache.usable(
+            np.asarray(strs_a_packed, np.uint32)
+        ):
+            src_a_h, sign_a_h = table_cache.gather_tables(strs_a_packed, norb)
+            src_b_h, sign_b_h = table_cache.gather_tables(strs_b_packed, norb)
+            ia, va = table_cache.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
+            ib, vb = table_cache.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
+        else:
+            src_a_h, sign_a_h = native.gather_tables(strs_a_packed, norb)
+            src_b_h, sign_b_h = native.gather_tables(strs_b_packed, norb)
+            ia, va = native.samespin_tables(strs_a_packed, h1_np, eri_np, norb, n_a)
+            ib, vb = native.samespin_tables(strs_b_packed, h1_np, eri_np, norb, n_b)
+        # Above ~4M determinants the (M, N) f64 diagonal dominates transfer
+        # volume (156 MB at 1.9e7 dets, ~3.3 s at the tunnel's ~47 MB/s):
+        # ship only its O((M+N)*norb) rank-structured pieces and assemble on
+        # device (:func:`_hdiag_device`, exact to ~5e-13).  Below that the
+        # host-materialized diagonal transfers in O(100 ms) and avoids the
+        # extra per-shape compile.
+        device_diag = m_pad * n_pad >= DEVICE_DIAG_MIN_ELEMS
+        if device_diag:
+            a_part_h, b_part_h, w_h = _hdiag_parts_np(occ_a_h, occ_b_h, h1e, eri)
+            occ_ad_h = occ_a_h
+        else:
+            hd_h = _hdiag_np(occ_a_h, occ_b_h, h1e, eri)
+        if pad_m or pad_n:
+            # all tables are clamped (invalid -> index 0 with zero weight), so
+            # padding just extends them with zero-weight entries; padded
+            # diagonal entries are pushed to 1e30 so padded determinants stay
+            # inert under the Davidson preconditioner.
+            src_a_h = np.pad(src_a_h, ((0, 0), (0, pad_m)))
+            sign_a_h = np.pad(sign_a_h, ((0, 0), (0, pad_m)))
+            src_b_h = np.pad(src_b_h, ((0, 0), (0, pad_n)))
+            sign_b_h = np.pad(sign_b_h, ((0, 0), (0, pad_n)))
+            ia = np.pad(ia, ((0, pad_m), (0, 0)))
+            va = np.pad(va, ((0, pad_m), (0, 0)))
+            ib = np.pad(ib, ((0, pad_n), (0, 0)))
+            vb = np.pad(vb, ((0, pad_n), (0, 0)))
+            if device_diag:
+                a_part_h = np.pad(a_part_h, (0, pad_m), constant_values=1e30)
+                b_part_h = np.pad(b_part_h, (0, pad_n), constant_values=1e30)
+                occ_ad_h = np.pad(occ_ad_h, ((0, pad_m), (0, 0)))
+                w_h = np.pad(w_h, ((0, pad_n), (0, 0)))
+            else:
+                hd_h = np.pad(hd_h, ((0, pad_m), (0, pad_n)), constant_values=1e30)
+        # ONE batched device_put of final, host-padded, host-cast arrays.
+        # The tunnel charges ~30-60 ms per individual transfer call PLUS a
+        # per-process XLA compile for every device-side pad/convert op (none
+        # of which persist — they compile in <1 s): measured 7.0 s of
+        # "build" against 0.75 s of actual transfer at 1e6 dets.  A single
+        # pytree put is bandwidth-bound (~47 MB/s on this tunnel) instead
+        # (probes/table_build_split.py).
+        payload = {
+            "src_a": src_a_h,
+            "sign_a": sign_a_h,
+            "src_b": src_b_h,
+            "sign_b": sign_b_h,
+            "nbr_idx_a": ia,
+            "nbr_val_a": va.astype(np_dtype, copy=False),
+            "nbr_idx_b": ib,
+            "nbr_val_b": vb.astype(np_dtype, copy=False),
+            "eri_t": eri_t_h,
+        }
+        if device_diag:
+            payload["a_part"] = a_part_h
+            payload["b_part"] = b_part_h
+            payload["occ_a"] = occ_ad_h
+            payload["w"] = w_h
+        else:
+            payload["hdiag"] = hd_h.astype(np_dtype, copy=False)
+        dev = jax.device_put(payload)
+        src_a, sign_a = dev["src_a"], dev["sign_a"]
+        src_b, sign_b = dev["src_b"], dev["sign_b"]
+        nbr_idx_a, nbr_val_a = dev["nbr_idx_a"], dev["nbr_val_a"]
+        nbr_idx_b, nbr_val_b = dev["nbr_idx_b"], dev["nbr_val_b"]
+        eri_t = dev["eri_t"]
+        if device_diag:
+            hd = _hdiag_device(
+                dev["a_part"], dev["b_part"], dev["occ_a"], dev["w"],
+                out_dtype=np_dtype,
+            )
+        else:
+            hd = dev["hdiag"]
+    else:
+        strs_a = jnp.asarray(strs_a_packed)
+        strs_b = jnp.asarray(strs_b_packed)
+        h1e_d = jnp.asarray(h1e, dtype)
+        eri_d = jnp.asarray(eri, dtype)
+        src_a, sign_a = linktab.build_gather_tables(strs_a, norb)
+        src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
+        nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
+        nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
+        hd = jnp.asarray(_hdiag_np(occ_a_h, occ_b_h, h1e, eri), dtype)
+        if pad_m or pad_n:
+            src_a = jnp.pad(src_a, ((0, 0), (0, pad_m)))
+            sign_a = jnp.pad(sign_a, ((0, 0), (0, pad_m)))
+            src_b = jnp.pad(src_b, ((0, 0), (0, pad_n)))
+            sign_b = jnp.pad(sign_b, ((0, 0), (0, pad_n)))
+            nbr_idx_a = jnp.pad(nbr_idx_a, ((0, pad_m), (0, 0)))
+            nbr_val_a = jnp.pad(nbr_val_a, ((0, pad_m), (0, 0)))
+            nbr_idx_b = jnp.pad(nbr_idx_b, ((0, pad_n), (0, 0)))
+            nbr_val_b = jnp.pad(nbr_val_b, ((0, pad_n), (0, 0)))
+            big = jnp.asarray(1e30, dtype)
+            hd = jnp.pad(hd, ((0, pad_m), (0, pad_n)), constant_values=big)
+        eri_t = jnp.asarray(eri_t_h)
     return SCIHamiltonian(
         src_a=src_a,
         sign_a=sign_a,

@@ -444,3 +444,61 @@ def test_blocked_beta_first_variants_match_full():
         out_new = ham._SCIHamiltonian__matvec_blocked_beta_first_rowmajor(c)
         np.testing.assert_allclose(np.asarray(out_old), np.asarray(ref), atol=1e-10)
         np.testing.assert_allclose(np.asarray(out_new), np.asarray(ref), atol=1e-10)
+
+
+def test_hdiag_device_matches_host():
+    """Device-assembled diagonal == host f64 oracle (rank-structured pieces).
+
+    The native build ships only O((M+N)*norb) operands above
+    DEVICE_DIAG_MIN_ELEMS and assembles the (M, N) diagonal on device with
+    ELEMENTWISE f64 ops (exact on TPU, unlike f64 dot_generals; measured
+    5.4e-13 on chip at 1e6 dets — probes/table_build_split.py).
+    """
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops.hamiltonian import (
+        _hdiag_device,
+        _hdiag_np,
+        _hdiag_parts_np,
+        _occupancy_np,
+    )
+
+    norb = 7
+    h1, eri = random_integrals(norb, 11)
+    strs_a, strs_b = subspace(norb, 3, 2, 12, 9, 13)
+    occ_a = _occupancy_np(bitpack.pack_ints(strs_a, norb), norb)
+    occ_b = _occupancy_np(bitpack.pack_ints(strs_b, norb), norb)
+    want = _hdiag_np(occ_a, occ_b, h1, eri)
+    a_part, b_part, w = _hdiag_parts_np(occ_a, occ_b, h1, eri)
+    got = _hdiag_device(
+        jnp.asarray(a_part), jnp.asarray(b_part),
+        jnp.asarray(occ_a), jnp.asarray(w), out_dtype=np.dtype(np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-12)
+
+
+def test_build_device_diag_path(monkeypatch):
+    """Full native build through the device-diag branch == host-diag build."""
+    import sqd_tpu.ops.hamiltonian as H
+    from sqd_tpu import native
+
+    if not native.available():
+        pytest.skip("native table backend unavailable")
+    ham_host, h_dense, (strs_a, strs_b, h1, eri) = build_pair(
+        5, 3, 2, 7, 6, pad_to=(8, 8)
+    )
+    monkeypatch.setattr(H, "DEVICE_DIAG_MIN_ELEMS", 0)
+    ham_dev, _, _ = build_pair(5, 3, 2, 7, 6, pad_to=(8, 8))
+    hd_host = np.asarray(ham_host.hdiag)
+    hd_dev = np.asarray(ham_dev.hdiag)
+    m, n = len(strs_a), len(strs_b)
+    np.testing.assert_allclose(hd_dev[:m, :n], hd_host[:m, :n], rtol=0, atol=1e-12)
+    # padded entries stay inert (huge) in both builds
+    assert np.all(hd_dev[m:, :] >= 1e29) and np.all(hd_dev[:, n:] >= 1e29)
+    v = np.random.default_rng(3).normal(size=(m, n))
+    vp = np.zeros(ham_dev.shape)
+    vp[:m, :n] = v
+    sigma = np.asarray(ham_dev.matvec(jnp.asarray(vp)))[:m, :n]
+    np.testing.assert_allclose(
+        sigma, (h_dense @ v.reshape(-1)).reshape(m, n), atol=1e-10
+    )
