@@ -31,6 +31,7 @@ from . import bitpack
 __all__ = [
     "pauli_masks_to_packed",
     "connected_table",
+    "connected_table_pair",
     "diagonal_sign_table",
     "pauli_term_table",
     "ProjectedPauliOperator",
@@ -102,7 +103,7 @@ def pauli_term_table(sorted_packed, pauli):
         sign = diagonal_sign_table(sorted_packed, jnp.asarray(zw[:w]))
         col = jnp.arange(d, dtype=jnp.int32)
         return col, sign, phase
-    table_fn = connected_table_rank if d >= 1_000_000 else connected_table
+    table_fn = connected_table_pair if d >= 1_000_000 else connected_table
     col, sign = table_fn(sorted_packed, jnp.asarray(zw[:w]), jnp.asarray(xw[:w]))
     return col, sign, phase
 
@@ -138,6 +139,61 @@ def connected_table_rank(sorted_packed, z_words, x_words):
     col = jnp.full(n, n, jnp.int32).at[
         jnp.where(flags_s == 1, payload_s, n)
     ].set(col_sorted, mode="drop")
+    sign = 1 - 2 * (bitpack.jnp_popcount_rows(sorted_packed & z_words[None, :]) % 2)
+    sign = jnp.where(col < n, sign, 0).astype(jnp.int8)
+    return col, sign
+
+
+@jax.jit
+def connected_table_pair(sorted_packed, z_words, x_words):
+    """Involution-pairing variant of :func:`connected_table` for huge subspaces.
+
+    Requires ``x != 0`` (diagonal terms take :func:`diagonal_sign_table`,
+    where every row trivially connects to itself — with ``x == 0`` the
+    pairing below would report every row absent).
+
+    For a non-diagonal term the connected map ``a -> a ^ x`` is an
+    INVOLUTION: ``a`` and ``b`` are partners iff ``b = a ^ x``, i.e. iff they
+    share the key ``k = min(a, a ^ x)`` (and each key is shared by at most 2
+    distinct rows, since rows are unique).  Sorting the n rows by
+    ``(k, a > a^x)`` therefore lands every partner pair ADJACENT, with the
+    smaller element first — membership resolves by comparing neighbours.
+
+    vs :func:`connected_table_rank` this sorts n elements instead of 2n and
+    replaces its (2n,)-row random predecessor gather (slice-count-bound,
+    ~0.85 s per 5e7 slices on this chip) with shifted-by-one comparisons,
+    which XLA lowers to contiguous streams.
+    """
+    n, w = sorted_packed.shape
+    conn = sorted_packed ^ x_words[None, :]
+    # lexicographic a > a^x, most-significant word last (bitpack convention)
+    gt = jnp.zeros(n, bool)
+    eq = jnp.ones(n, bool)
+    for j in range(w - 1, -1, -1):
+        aj, cj = sorted_packed[:, j], conn[:, j]
+        gt = gt | (eq & (aj > cj))
+        eq = eq & (aj == cj)
+    k = jnp.where(gt[:, None], conn, sorted_packed)  # min(a, a^x) per row
+    flag = gt.astype(jnp.uint32)
+    payload = jnp.arange(n, dtype=jnp.int32)
+    keys = [k[:, j] for j in range(w - 1, -1, -1)] + [flag]
+    out = jax.lax.sort(keys + [payload], num_keys=w + 1)
+    flag_s = out[w]
+    payload_s = out[w + 1]
+    kw = out[:w]  # sorted key words, msb-first
+    same_prev = jnp.ones(n, bool).at[0].set(False)
+    for col_w in kw:
+        same_prev = same_prev & (col_w == jnp.roll(col_w, 1))
+    # pair = (flag 0 at i, flag 1 at i+1) with equal k: each side reads its
+    # immediate neighbour — shifted loads, no random gather
+    prev_is_partner = same_prev & (flag_s == 1) & (jnp.roll(flag_s, 1) == 0)
+    next_is_partner = jnp.roll(prev_is_partner, -1) & (flag_s == 0)
+    partner = jnp.where(
+        prev_is_partner,
+        jnp.roll(payload_s, 1),
+        jnp.where(next_is_partner, jnp.roll(payload_s, -1), n),
+    ).astype(jnp.int32)
+    col = jnp.zeros(n, jnp.int32).at[payload_s].set(partner)
     sign = 1 - 2 * (bitpack.jnp_popcount_rows(sorted_packed & z_words[None, :]) % 2)
     sign = jnp.where(col < n, sign, 0).astype(jnp.int8)
     return col, sign
@@ -256,11 +312,18 @@ def build_projected_operator(sorted_packed: np.ndarray, paulis, coeffs) -> Proje
         xws.append(xw)
         cs.append(complex(c) * (1j**n_y))
     if d >= 1_000_000:
-        # the sort-rank variant holds O(2d) sort buffers per term — run the
+        # the pairing variant holds O(d) sort buffers per term — run the
         # terms serially rather than vmapping T full sorts into live memory
         perms, signs = [], []
+        w = sp.shape[1]
         for zw, xw in zip(zws, xws):
-            col, sign = connected_table_rank(sp, jnp.asarray(zw), jnp.asarray(xw))
+            if not np.asarray(xw[:w]).any():  # diagonal: identity connection
+                col = jnp.arange(d, dtype=jnp.int32)
+                sign = diagonal_sign_table(sp, jnp.asarray(zw[:w]))
+            else:
+                col, sign = connected_table_pair(
+                    sp, jnp.asarray(zw[:w]), jnp.asarray(xw[:w])
+                )
             perms.append(col)
             signs.append(sign)
         perm = jnp.stack(perms)

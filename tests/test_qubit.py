@@ -239,3 +239,66 @@ def test_solve_qubit_device_k3_complex_terms():
     np.testing.assert_allclose(np.sort(w_dev), np.sort(w_ref), atol=1e-6)
     g = v_dev.conj().T @ v_dev
     np.testing.assert_allclose(g, np.eye(3), atol=1e-6)
+
+
+@pytest.mark.parametrize("nq", [10, 40])  # one- and two-word packed widths
+def test_connected_table_pair_matches_binary_search(nq):
+    """Involution-pairing membership == branchless binary search, incl. absences.
+
+    connected_table_pair is the d>=1e6 production path (pauli_proj.py); pin it
+    at small d against connected_table on a random sparse subspace where many
+    connected strings fall outside the set, for both packed widths.
+    """
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops import bitpack, pauli_proj
+
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, size=(300, nq)).astype(bool)
+    # close HALF the set under the X-part flips below so both present and
+    # absent partners occur (300 random 40-bit strings alone share none)
+    half = bits[:150].copy()
+    for flip_cols in ([0], [0, 1]):
+        flipped = half.copy()
+        flipped[:, flip_cols] ^= True
+        bits = np.vstack([bits, flipped])
+    packed = bitpack.pack_bool_matrix(bits)
+    packed = np.unique(packed, axis=0)
+    # multiword sort order: bitpack convention (last word most significant)
+    order = np.lexsort(tuple(packed[:, j] for j in range(packed.shape[1])))
+    sp = jnp.asarray(packed[order])
+    for label_head in ("X", "Y", "ZX"):
+        label = (label_head + "Z" * nq)[:nq]
+        pauli = Pauli.from_label(label)
+        zw, xw = pauli_proj.pauli_masks_to_packed(pauli.z, pauli.x)
+        w = sp.shape[1]
+        zd, xd = jnp.asarray(zw[:w]), jnp.asarray(xw[:w])
+        col_ref, sign_ref = pauli_proj.connected_table(sp, zd, xd)
+        col_new, sign_new = pauli_proj.connected_table_pair(sp, zd, xd)
+        np.testing.assert_array_equal(np.asarray(col_new), np.asarray(col_ref))
+        np.testing.assert_array_equal(np.asarray(sign_new), np.asarray(sign_ref))
+        assert (np.asarray(col_new) < sp.shape[0]).any()  # some partners exist
+
+
+def test_connected_table_pair_all_partners_present():
+    """Closed subspace (full Hamming shell under one X-pair flip): no sentinel."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops import bitpack, pauli_proj
+
+    nq = 8
+    # full 2^8 space is closed under any flip
+    bits = ((np.arange(256)[:, None] >> np.arange(nq)[::-1]) & 1).astype(bool)
+    packed = bitpack.pack_bool_matrix(bits)
+    order = np.lexsort(tuple(packed[:, j] for j in range(packed.shape[1])))
+    sp = jnp.asarray(packed[order])
+    pauli = Pauli.from_label("XX" + "Z" * (nq - 2))
+    zw, xw = pauli_proj.pauli_masks_to_packed(pauli.z, pauli.x)
+    w = sp.shape[1]
+    col_ref, sign_ref = pauli_proj.connected_table(sp, jnp.asarray(zw[:w]), jnp.asarray(xw[:w]))
+    col_new, sign_new = pauli_proj.connected_table_pair(
+        sp, jnp.asarray(zw[:w]), jnp.asarray(xw[:w])
+    )
+    np.testing.assert_array_equal(np.asarray(col_new), np.asarray(col_ref))
+    np.testing.assert_array_equal(np.asarray(sign_new), np.asarray(sign_ref))
+    assert (np.asarray(col_new) < sp.shape[0]).all()
