@@ -28,8 +28,9 @@ projection of a Z^n term over d = 5e7 sorted unique bitstrings, 4.17 s at 40
 qubits / 5.16 s at 60 qubits on its notebook host
 (``docs/guides/benchmark_pauli_projection.ipynb`` cells 7/11) — measured
 device-resident (packed uint32 in HBM -> per-term table on chip), plus a
-non-diagonal (X-containing) term through the on-device sort-rank membership,
-which the reference cannot express at 60 qubits at all (63-bit ceiling).
+non-diagonal (X-containing) term through the on-device involution-pairing
+membership (sort by min(a, a^x) lands partners adjacent), which the
+reference cannot express at 60 qubits at all (63-bit ceiling).
 """
 
 import json
@@ -267,7 +268,7 @@ def main():
     # the timed work is the full per-term operator build on chip
     # (sqd_tpu.ops.pauli_proj.pauli_term_table) including a value readback
     # to force completion.  A non-diagonal term exercises the on-device
-    # sort-rank membership at the same scale.
+    # involution-pairing membership at the same scale.
     pauli_detail = None
     try:
         from sqd_tpu.ops.pauli_proj import pauli_term_table
@@ -312,7 +313,7 @@ def main():
                 "checksum": cs,
             }
             if nq == 40:
-                # non-diagonal term: on-device sort-rank membership at d=5e7
+                # non-diagonal term: on-device pairing membership at d=5e7
                 px = Pauli.from_label("X" + "Z" * (nq - 1))
                 t_x, cs_x = time_term(packed_dev, px)
                 entry["nondiagonal_term_seconds"] = round(t_x, 4)

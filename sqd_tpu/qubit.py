@@ -104,7 +104,7 @@ def matrix_elements_from_pauli(
         return amplitudes, rows, rows.copy()
 
     # host radix-merge wins at small/medium d (no device sync); the device
-    # sort-rank kernel wins at large d (the host here may be few-core)
+    # involution-pairing kernel wins at large d (the host here may be few-core)
     col = native.connected_membership(packed_h, xw) if d <= 2_000_000 else None
     if col is not None:
         # host path: radix-merge membership (cache-friendly; the reference's
@@ -112,9 +112,9 @@ def matrix_elements_from_pauli(
         keep = col >= 0
         sign = _sign(packed_h)
     else:
-        from .ops.pauli_proj import connected_table_rank
+        from .ops.pauli_proj import connected_table_pair
 
-        table_fn = connected_table_rank if d >= 1_000_000 else connected_table
+        table_fn = connected_table_pair if d >= 1_000_000 else connected_table
         packed = jnp.asarray(packed_h)
         col_d, sign_d = table_fn(packed, jnp.asarray(zw), jnp.asarray(xw))
         col = np.asarray(col_d).astype(np.int64)
