@@ -290,6 +290,7 @@ def solve_sci(
     pad_bucket: int = 32,
     refine_iterations: int | None = None,
     table_cache=None,
+    with_rdms: bool = True,
     **kwargs,
 ) -> SCIResult:
     """Diagonalize the Hamiltonian in the subspace spanned by the CI strings.
@@ -323,6 +324,13 @@ def solve_sci(
             orchestrator's default ``occupancies_tol = 1e-5`` at >=1e5
             determinants (first-order in the residual), so the default must
             not allow false convergence; pass 0 explicitly to opt out.
+        with_rdms: attach the spin-summed 2-RDM to the result (default, the
+            reference contract).  The same-spin 2-RDM Grams run over
+            ``n_strings * C(n_elec, 2)`` two-hole intermediates, which
+            dominates everything else at high filling (e.g. 27 electrons in
+            36 orbitals: ~350 intermediates per string); energy and
+            occupancies never need it — pass ``False`` to skip (``rdm2`` is
+            then ``None``; ``rdm1`` and occupancies are always computed).
         **kwargs: ignored extras for signature compatibility.
 
     Returns:
@@ -391,9 +399,10 @@ def solve_sci(
     # f64 RDMs -> occupancies (reference policy, fermion.py:517-524).
     # Padded rows/columns are exactly zero, so the padded gather tables give
     # the same RDMs as an unpadded rebuild would.
-    rdms = rdm_ops.make_rdms(ham64, vec_pad, pa, pb)
+    rdms = rdm_ops.make_rdms(ham64, vec_pad, pa if with_rdms else None,
+                             pb if with_rdms else None, with_dm2=with_rdms)
     dm1 = np.asarray(rdms["dm1a"] + rdms["dm1b"])
-    dm2 = np.asarray(rdms["dm2"])
+    dm2 = np.asarray(rdms["dm2"]) if with_rdms else None
     occupancies = (
         np.diagonal(np.asarray(rdms["dm1a"])).copy(),
         np.diagonal(np.asarray(rdms["dm1b"])).copy(),
