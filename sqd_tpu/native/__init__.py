@@ -117,6 +117,16 @@ def _load():
             f64p, f64p, u32p, f64p, ctypes.c_int64,
         ]
         lib.samespin_values.restype = None
+        lib.samespin_sparse_count.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f64p, f64p, i64p,
+        ]
+        lib.samespin_sparse_count.restype = ctypes.c_int64
+        lib.samespin_sparse_fill.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f64p, f64p, i32p, f64p, ctypes.c_int64,
+        ]
+        lib.samespin_sparse_fill.restype = None
         _lib = lib
         return _lib
 
@@ -253,11 +263,30 @@ def samespin_values(strs_packed, h1e, eri, norb: int, nelec: int):
     return nbr, val
 
 
-def samespin_tables(strs_packed, h1e, eri, norb: int, nelec: int, *, bucket: int = 8):
+def samespin_tables(
+    strs_packed, h1e, eri, norb: int, nelec: int, *, bucket: int = 8, algo: str = "auto"
+):
     """Compacted Slater-Condon neighbor lists (native; None if unavailable).
 
     Returns (idx, val) with the same layout/semantics as
     :func:`sqd_tpu.ops.hamiltonian.build_samespin_tables`.
+
+    Two algorithms produce bit-identical output:
+
+    - ``"enum"``: per string, enumerate all ``1 + ne*nv + C(ne,2)*C(nv,2)``
+      candidate excitations and binary-search each against the set.  Near-
+      optimal when most candidates hit (full CAS sectors), pathological on
+      sparse sets at high filling (27e/36o: 12,880 probes/string, ~99.6%
+      misses on selected sets — measured 8 s + 12 s NumPy compaction at
+      3,163 strings, where "sparse" takes ~0.2 s).
+    - ``"sparse"``: intersection-driven — two strings are single/double
+      connected iff they share a one-/two-hole intermediate, so sorting the
+      ``M*ne`` one-hole and ``M*C(ne,2)`` two-hole cores groups exactly the
+      connected pairs with no searches; work scales with output size.
+      Transient memory is ~28 bytes per two-hole key (~1 GB at 1e5 strings
+      of 27 electrons).
+
+    ``"auto"`` picks "sparse" once the enumeration probe count gets large.
     """
     lib = _load()
     if lib is None:
@@ -268,6 +297,25 @@ def samespin_tables(strs_packed, h1e, eri, norb: int, nelec: int, *, bucket: int
     n_singles = nelec * nv
     n_doubles = (nelec * (nelec - 1) // 2) * (nv * (nv - 1) // 2)
     width_full = 1 + n_singles + n_doubles
+    h1c = np.ascontiguousarray(h1e, np.float64)
+    eric = np.ascontiguousarray(eri, np.float64)
+    if algo not in ("auto", "enum", "sparse"):
+        raise ValueError(f"unknown samespin algo {algo!r}")
+    use_sparse = algo == "sparse" or (
+        algo == "auto" and n * width_full > 4_000_000 and hasattr(lib, "samespin_sparse_count")
+    )
+    if use_sparse:
+        counts = np.empty(n, dtype=np.int64)
+        mx = int(
+            lib.samespin_sparse_count(strs_packed, n, w, norb, nelec, h1c, eric, counts)
+        )
+        width = min(width_full, max(bucket, -(-mx // bucket) * bucket))
+        idx = np.zeros((n, width), dtype=np.int32)
+        val = np.zeros((n, width), dtype=np.float64)
+        lib.samespin_sparse_fill(
+            strs_packed, n, w, norb, nelec, h1c, eric, idx, val, width
+        )
+        return idx, val
     idx = np.empty((n, width_full), dtype=np.int32)
     val = np.empty((n, width_full), dtype=np.float64)
     lib.samespin_candidates(
@@ -276,8 +324,8 @@ def samespin_tables(strs_packed, h1e, eri, norb: int, nelec: int, *, bucket: int
         w,
         norb,
         nelec,
-        np.ascontiguousarray(h1e, np.float64),
-        np.ascontiguousarray(eri, np.float64),
+        h1c,
+        eric,
         idx,
         val,
         width_full,

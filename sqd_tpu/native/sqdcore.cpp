@@ -452,3 +452,310 @@ void samespin_values(const uint32_t* strs, int64_t n, int w, int norb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Intersection-driven same-spin tables (sparse-set algorithm).
+//
+// The enumeration kernel above visits all 1 + ne*nv + C(ne,2)*C(nv,2)
+// candidates per string and binary-searches each against the set — at high
+// filling (e.g. 27e in 36o: 12,880 candidates/row) almost all of them miss
+// a selected set.  This variant scales with OUTPUT + M*C(ne,2) instead:
+// two strings are single- (double-) connected iff they share a one-hole
+// (two-hole) intermediate, i.e. their intersection; sorting the M*ne one-hole
+// and M*C(ne,2) two-hole cores groups exactly the connected pairs, with the
+// partner's row index read straight off the bucket (no searches at all).
+// Entries are emitted with their ENUMERATION SLOT and sorted by it per row,
+// so the compacted output is bit-identical to the enumeration kernel's
+// (same widths, same order, same values) — callers and caches can't tell
+// the algorithms apart.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct HoleKeys {
+    // one entry per (row, hole-subset): the core string J minus the holes.
+    std::vector<uint32_t> cores;  // (count, w)
+    std::vector<int32_t> rows;    // (count)
+    std::vector<int64_t> order;   // sorted by core (lexicographic)
+};
+
+void build_hole_keys(const uint32_t* strs, int64_t n, int w, int norb,
+                     int nelec, int nholes, HoleKeys& hk) {
+    const int64_t per_row =
+        nholes == 1 ? nelec : (int64_t)nelec * (nelec - 1) / 2;
+    hk.cores.assign((size_t)(n * per_row) * w, 0u);
+    hk.rows.assign((size_t)(n * per_row), 0);
+    int64_t count = 0;
+    std::vector<int> occ(norb);
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* J = strs + i * w;
+        int oc = 0;
+        for (int t = 0; t < norb; ++t)
+            if (get_bit(J, t)) { if (oc < nelec) occ[oc] = t; ++oc; }
+        if (oc != nelec) continue;  // inert row (validated upstream)
+        if (nholes == 1) {
+            for (int a = 0; a < oc; ++a) {
+                uint32_t* core = hk.cores.data() + count * w;
+                std::memcpy(core, J, w * sizeof(uint32_t));
+                flip_bit(core, occ[a]);
+                hk.rows[count++] = (int32_t)i;
+            }
+        } else {
+            for (int a = 0; a < oc; ++a) {
+                for (int b = a + 1; b < oc; ++b) {
+                    uint32_t* core = hk.cores.data() + count * w;
+                    std::memcpy(core, J, w * sizeof(uint32_t));
+                    flip_bit(core, occ[a]);
+                    flip_bit(core, occ[b]);
+                    hk.rows[count++] = (int32_t)i;
+                }
+            }
+        }
+    }
+    hk.cores.resize((size_t)count * w);
+    hk.rows.resize((size_t)count);
+    hk.order.resize((size_t)count);
+    for (int64_t k = 0; k < count; ++k) hk.order[k] = k;
+    if (w <= 2) {
+        // pack to u64 keys: direct sort is several times faster than the
+        // indirect comparator (one cache line per compare instead of three)
+        std::vector<std::pair<uint64_t, int64_t>> keyed((size_t)count);
+        for (int64_t k = 0; k < count; ++k) {
+            const uint32_t* c = hk.cores.data() + k * w;
+            uint64_t key = (uint64_t)c[0] | (w > 1 ? ((uint64_t)c[1] << 32) : 0u);
+            keyed[k] = {key, k};
+        }
+        std::sort(keyed.begin(), keyed.end());
+        for (int64_t k = 0; k < count; ++k) hk.order[k] = keyed[k].second;
+    } else {
+        const uint32_t* cores = hk.cores.data();
+        std::sort(hk.order.begin(), hk.order.end(), [cores, w](int64_t x, int64_t y) {
+            return row_less(cores + x * w, cores + y * w, w);
+        });
+    }
+}
+
+inline bool cores_equal(const HoleKeys& hk, int w, int64_t a, int64_t b) {
+    return std::memcmp(hk.cores.data() + hk.order[a] * w,
+                       hk.cores.data() + hk.order[b] * w,
+                       w * sizeof(uint32_t)) == 0;
+}
+
+inline int popcount_xor(const uint32_t* a, const uint32_t* b, int w) {
+    int acc = 0;
+    for (int j = 0; j < w; ++j) acc += __builtin_popcount(a[j] ^ b[j]);
+    return acc;
+}
+
+// Extract the (at most two) set bits of a XOR b; returns how many.
+inline int xor_bits(const uint32_t* a, const uint32_t* b, int w, int* out) {
+    int cnt = 0;
+    for (int j = 0; j < w && cnt < 2; ++j) {
+        uint32_t x = a[j] ^ b[j];
+        while (x && cnt < 2) {
+            out[cnt++] = j * 32 + __builtin_ctz(x);
+            x &= x - 1;
+        }
+    }
+    return cnt;
+}
+
+struct SparseEntry {
+    int32_t slot;
+    int32_t idx;
+    double val;
+};
+
+// Walk both sorted hole-key lists computing each connected pair's matrix
+// element; entries with an exactly-zero element are skipped in BOTH passes
+// (matching the enumeration path's `val != 0` compaction — structured
+// integrals like Hubbard zero out whole excitation classes).  When `fill`
+// the entries land at per-row cursors, otherwise only `row_counts` grows.
+void samespin_sparse_sweep(const uint32_t* strs, int64_t n, int w, int norb,
+                           int nelec, const double* h1, const double* eri,
+                           bool fill, int64_t* row_counts,
+                           std::vector<SparseEntry>* entries,
+                           const int64_t* row_ptr) {
+    const int nv = norb - nelec;
+    const int64_t n4 = (int64_t)norb * norb * norb, n2 = (int64_t)norb * norb;
+    auto E = [&](int a, int b, int c, int d) -> double {
+        return eri[(int64_t)a * n4 + (int64_t)b * n2 + (int64_t)c * norb + d];
+    };
+    std::vector<int64_t> cursor;
+    if (fill) cursor.assign(row_ptr, row_ptr + n);
+    // diagonal (slot 0) — emitted for every weight-valid row
+    std::vector<int> occ(norb);
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* J = strs + i * w;
+        int oc = 0;
+        for (int t = 0; t < norb; ++t)
+            if (get_bit(J, t)) { if (oc < nelec) occ[oc] = t; ++oc; }
+        if (oc != nelec) continue;
+        double diag = 0.0;
+        for (int a = 0; a < oc; ++a) {
+            int p = occ[a];
+            diag += h1[p * norb + p];
+            for (int b = 0; b < oc; ++b) {
+                int q = occ[b];
+                diag += 0.5 * (E(p, p, q, q) - E(p, q, q, p));
+            }
+        }
+        if (diag == 0.0) continue;
+        if (fill) (*entries)[cursor[i]++] = {0, (int32_t)i, diag};
+        else ++row_counts[i];
+    }
+    int bits_j[2], bits_i[2];
+    std::vector<uint32_t> buf(w);
+    // singles via one-hole cores
+    {
+        HoleKeys hk;
+        build_hole_keys(strs, n, w, norb, nelec, 1, hk);
+        const int64_t cnt = (int64_t)hk.rows.size();
+        for (int64_t lo = 0; lo < cnt;) {
+            int64_t hi = lo + 1;
+            while (hi < cnt && cores_equal(hk, w, lo, hi)) ++hi;
+            for (int64_t a = lo; a < hi; ++a) {
+                const int32_t rj = hk.rows[hk.order[a]];
+                const uint32_t* Jj = strs + (int64_t)rj * w;
+                const uint32_t* core = hk.cores.data() + hk.order[a] * w;
+                xor_bits(Jj, core, w, bits_j);
+                const int p = bits_j[0];  // the hole: occupied in Jj
+                for (int64_t b = lo; b < hi; ++b) {
+                    if (b == a) continue;
+                    const int32_t ri = hk.rows[hk.order[b]];
+                    const uint32_t* Ji = strs + (int64_t)ri * w;
+                    const uint32_t* corei = hk.cores.data() + hk.order[b] * w;
+                    xor_bits(Ji, corei, w, bits_i);
+                    const int q = bits_i[0];  // virtual in Jj, occupied in Ji
+                    double mf = h1[p * norb + q];
+                    int oc2 = 0;
+                    for (int t = 0; t < norb && oc2 < nelec; ++t) {
+                        if (!get_bit(Jj, t)) continue;
+                        ++oc2;
+                        if (t == p) continue;
+                        mf += E(p, q, t, t) - E(p, t, t, q);
+                    }
+                    const int s1 = popcount_below(Ji, w, q);
+                    const int s2 = popcount_below(Ji, w, p) - (q < p ? 1 : 0);
+                    const double val = (((s1 + s2) & 1) ? -1.0 : 1.0) * mf;
+                    if (val == 0.0) continue;
+                    if (!fill) {
+                        ++row_counts[rj];
+                        continue;
+                    }
+                    const int apos = popcount_below(Jj, w, p);
+                    const int kpos = q - popcount_below(Jj, w, q);
+                    const int32_t slot = (int32_t)(1 + apos * nv + kpos);
+                    (*entries)[cursor[rj]++] = {slot, ri, val};
+                }
+            }
+            lo = hi;
+        }
+    }
+    // doubles via two-hole cores
+    if (nelec >= 2 && nv >= 2) {
+        HoleKeys hk;
+        build_hole_keys(strs, n, w, norb, nelec, 2, hk);
+        const int64_t cnt = (int64_t)hk.rows.size();
+        const int64_t nvp = (int64_t)nv * (nv - 1) / 2;
+        for (int64_t lo = 0; lo < cnt;) {
+            int64_t hi = lo + 1;
+            while (hi < cnt && cores_equal(hk, w, lo, hi)) ++hi;
+            for (int64_t a = lo; a < hi; ++a) {
+                const int32_t rj = hk.rows[hk.order[a]];
+                const uint32_t* Jj = strs + (int64_t)rj * w;
+                const uint32_t* core = hk.cores.data() + hk.order[a] * w;
+                for (int64_t b = lo; b < hi; ++b) {
+                    if (b == a) continue;
+                    const int32_t ri = hk.rows[hk.order[b]];
+                    const uint32_t* Ji = strs + (int64_t)ri * w;
+                    if (popcount_xor(Jj, Ji, w) != 4) continue;  // single: 1-hole pass
+                    xor_bits(Jj, core, w, bits_j);  // holes of Jj: p < r
+                    xor_bits(Ji, core, w, bits_i);  // holes of Ji: q < s
+                    const int p = bits_j[0], r = bits_j[1];
+                    const int q = bits_i[0], s = bits_i[1];
+                    const double raw = E(p, q, r, s) + E(r, s, p, q)
+                                       - E(p, s, r, q) - E(r, q, p, s);
+                    if (raw == 0.0) continue;
+                    if (!fill) {
+                        ++row_counts[rj];
+                        continue;
+                    }
+                    std::memcpy(buf.data(), Ji, w * sizeof(uint32_t));
+                    int par = popcount_below(buf.data(), w, q);
+                    flip_bit(buf.data(), q);
+                    par += popcount_below(buf.data(), w, s);
+                    flip_bit(buf.data(), s);
+                    par += popcount_below(buf.data(), w, r);
+                    flip_bit(buf.data(), r);
+                    par += popcount_below(buf.data(), w, p);
+                    const double g = (par & 1) ? -1.0 : 1.0;
+                    const double val = 0.5 * g * raw;
+                    const int apos = popcount_below(Jj, w, p);
+                    const int bpos = popcount_below(Jj, w, r);
+                    const int kpos = q - popcount_below(Jj, w, q);
+                    const int lpos = s - popcount_below(Jj, w, s);
+                    const int64_t opair =
+                        (int64_t)apos * nelec - (int64_t)apos * (apos + 1) / 2
+                        + (bpos - apos - 1);
+                    const int64_t vpair =
+                        (int64_t)kpos * nv - (int64_t)kpos * (kpos + 1) / 2
+                        + (lpos - kpos - 1);
+                    const int32_t slot =
+                        (int32_t)(1 + (int64_t)nelec * nv + opair * nvp + vpair);
+                    (*entries)[cursor[rj]++] = {slot, ri, val};
+                }
+            }
+            lo = hi;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-row nonzero-neighbor counts (incl. the diagonal); returns the max.
+// h1/eri are needed even for counting: zero matrix elements are dropped,
+// exactly like the enumeration path's compaction.
+int64_t samespin_sparse_count(const uint32_t* strs, int64_t n, int w,
+                              int norb, int nelec, const double* h1,
+                              const double* eri, int64_t* row_counts) {
+    std::fill(row_counts, row_counts + n, (int64_t)0);
+    samespin_sparse_sweep(strs, n, w, norb, nelec, h1, eri,
+                          /*fill=*/false, row_counts, nullptr, nullptr);
+    int64_t mx = 0;
+    for (int64_t i = 0; i < n; ++i) mx = std::max(mx, row_counts[i]);
+    return mx;
+}
+
+// Compacted (idx, val) rows, enumeration-slot order, zero-padded to `width`.
+void samespin_sparse_fill(const uint32_t* strs, int64_t n, int w, int norb,
+                          int nelec, const double* h1, const double* eri,
+                          int32_t* out_idx, double* out_val, int64_t width) {
+    std::vector<int64_t> counts((size_t)n, 0);
+    samespin_sparse_sweep(strs, n, w, norb, nelec, h1, eri,
+                          /*fill=*/false, counts.data(), nullptr, nullptr);
+    std::vector<int64_t> row_ptr((size_t)n + 1, 0);
+    for (int64_t i = 0; i < n; ++i) row_ptr[i + 1] = row_ptr[i] + counts[i];
+    std::vector<SparseEntry> entries((size_t)row_ptr[n]);
+    samespin_sparse_sweep(strs, n, w, norb, nelec, h1, eri,
+                          /*fill=*/true, nullptr, &entries, row_ptr.data());
+    for (int64_t i = 0; i < n; ++i) {
+        SparseEntry* lo = entries.data() + row_ptr[i];
+        SparseEntry* hi = entries.data() + row_ptr[i + 1];
+        std::sort(lo, hi, [](const SparseEntry& x, const SparseEntry& y) {
+            return x.slot < y.slot;
+        });
+        int32_t* idx_row = out_idx + i * width;
+        double* val_row = out_val + i * width;
+        int64_t c = 0;
+        for (SparseEntry* e = lo; e < hi && c < width; ++e, ++c) {
+            idx_row[c] = e->idx;
+            val_row[c] = e->val;
+        }
+        for (; c < width; ++c) { idx_row[c] = 0; val_row[c] = 0.0; }
+    }
+}
+
+}  // extern "C"

@@ -64,6 +64,52 @@ def test_samespin_tables_match_device(norb, nelec, count):
     np.testing.assert_allclose(to_dense(idx_n, val_n), to_dense(idx_d, val_d), atol=1e-12)
 
 
+@pytest.mark.parametrize(
+    "norb,nelec,count",
+    [
+        (6, 3, 15),        # small random subset
+        (6, 3, 20),        # FULL sector: dense buckets, every candidate hits
+        (34, 3, 10),       # multiword strings
+        (12, 9, 60),       # high filling (nv = 3)
+        (8, 1, 8),         # no doubles possible (ne = 1)
+        (8, 7, 8),         # no doubles possible (nv = 1)
+    ],
+)
+def test_samespin_sparse_matches_enum(norb, nelec, count):
+    """Intersection-driven kernel is bit-identical to enumeration."""
+    rng = np.random.default_rng(norb * 7 + nelec)
+    all_s = dense_fci.all_hamming_strings(norb, nelec)
+    sel = np.sort(rng.choice(all_s, min(count, len(all_s)), replace=False))
+    packed = bitpack.pack_ints(sel, norb)
+    h1, eri = _integrals(norb, seed=3)
+    idx_e, val_e = native.samespin_tables(packed, h1, eri, norb, nelec, algo="enum")
+    idx_s, val_s = native.samespin_tables(packed, h1, eri, norb, nelec, algo="sparse")
+    np.testing.assert_array_equal(idx_s, idx_e)
+    np.testing.assert_array_equal(val_s, val_e)
+
+
+def test_samespin_sparse_drops_zero_elements_like_enum():
+    """Structured integrals (Hubbard: zero off-diagonal eri) must compact
+    identically — zero matrix elements are dropped by both algorithms."""
+    norb, nelec = 8, 4
+    h1 = np.zeros((norb, norb))
+    for i in range(norb - 1):
+        h1[i, i + 1] = h1[i + 1, i] = -1.0
+    eri = np.zeros((norb,) * 4)
+    for i in range(norb):
+        eri[i, i, i, i] = 4.0
+    rng = np.random.default_rng(11)
+    all_s = dense_fci.all_hamming_strings(norb, nelec)
+    sel = np.sort(rng.choice(all_s, 30, replace=False))
+    packed = bitpack.pack_ints(sel, norb)
+    idx_e, val_e = native.samespin_tables(packed, h1, eri, norb, nelec, algo="enum")
+    idx_s, val_s = native.samespin_tables(packed, h1, eri, norb, nelec, algo="sparse")
+    np.testing.assert_array_equal(idx_s, idx_e)
+    np.testing.assert_array_equal(val_s, val_e)
+    # doubles are all zero here -> widths stay singles-sized
+    assert idx_e.shape[1] <= 1 + nelec * (norb - nelec) + 7
+
+
 def test_full_hamiltonian_native_vs_device_backend():
     norb, nelec = 6, (3, 2)
     rng = np.random.default_rng(5)
