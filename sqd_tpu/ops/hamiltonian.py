@@ -380,6 +380,13 @@ class SCIHamiltonian(SCIBasis):
     # cross-spin contraction coefficients: eri^T as (npair, npair)
     eri_t: jax.Array = None
     hdiag: jax.Array = None  # (M, N)
+    # optional pivoted-Cholesky factor L (X, npair) of the PSD pair matrix
+    # V[pq, rs] = (pq|rs): V = L^T L to ~1e-13 relative.  When present, the
+    # f32 matvec paths contract through the factor — 2*2*X*npair*dim FLOPs
+    # instead of 2*npair^2*dim, a norb^2/(2X) saving that grows with norb
+    # (large active spaces: X ~ 6-10x norb while npair = norb^2).  f64 paths
+    # (energy evaluation, residual refinement) always use the exact eri_t.
+    eri_chol: jax.Array | None = None
     # spin penalty: H + shift * (S^2 - spin_sq); shift == 0 disables.
     spin_shift: float = 0.0
     spin_target: float = 0.0
@@ -399,6 +406,7 @@ class SCIHamiltonian(SCIBasis):
             self.nbr_val_b,
             self.eri_t,
             self.hdiag,
+            self.eri_chol,
         )
         aux = (self.norb, self.nelec, self.spin_shift, self.spin_target, self.col_block)
         return children, aux
@@ -407,7 +415,7 @@ class SCIHamiltonian(SCIBasis):
     def tree_unflatten(cls, aux, children):
         norb, nelec, shift, target, col_block = aux
         (src_a, sign_a, src_b, sign_b, nbr_idx_a, nbr_val_a,
-         nbr_idx_b, nbr_val_b, eri_t, hdiag) = children
+         nbr_idx_b, nbr_val_b, eri_t, hdiag, eri_chol) = children
         return cls(
             src_a=src_a,
             sign_a=sign_a,
@@ -419,6 +427,7 @@ class SCIHamiltonian(SCIBasis):
             nbr_val_b=nbr_val_b,
             eri_t=eri_t,
             hdiag=hdiag,
+            eri_chol=eri_chol,
             norb=norb,
             nelec=nelec,
             spin_shift=shift,
@@ -436,7 +445,29 @@ class SCIHamiltonian(SCIBasis):
             nbr_val_a=self.nbr_val_a.astype(dtype),
             nbr_val_b=self.nbr_val_b.astype(dtype),
             hdiag=self.hdiag.astype(dtype),
+            eri_chol=None if self.eri_chol is None else self.eri_chol.astype(dtype),
         )
+
+    def _use_chol(self, dt) -> bool:
+        """Factorized contraction is an f32-matvec-only optimization."""
+        return self.eri_chol is not None and dt == jnp.float32
+
+    def _chol_left(self, flat: jax.Array, dt) -> jax.Array:
+        """``V @ flat`` through the factor ((npair, K) layout).
+
+        The factor is only attached when the pair matrix was verified
+        symmetric PSD, so ``V == V.T`` and this serves both the ``eri_t @ .``
+        (full path) and ``eri_t.T @ .`` (blocked paths) orientations.
+        """
+        lf = self.eri_chol.astype(dt)
+        t = jnp.matmul(lf, flat, preferred_element_type=dt)
+        return jnp.matmul(lf.T, t, preferred_element_type=dt)
+
+    def _chol_right(self, flat: jax.Array, dt) -> jax.Array:
+        """``flat @ V`` through the factor ((K, npair) layout)."""
+        lf = self.eri_chol.astype(dt)
+        t = jnp.matmul(flat, lf.T, preferred_element_type=dt)
+        return jnp.matmul(t, lf, preferred_element_type=dt)
 
     def apply_samespin_alpha(self, c: jax.Array) -> jax.Array:
         """``(H_aa (x) I) c`` via the neighbor list (row gathers)."""
@@ -529,9 +560,13 @@ class SCIHamiltonian(SCIBasis):
         npair = self.norb * self.norb
         d_a = self.gather_alpha(c)  # (npair, M, N)
         # cross-spin: sigma_ab = sum_rs E^b_rs [ sum_pq (pq|rs) E^a_pq c ]
-        g = jnp.matmul(
-            self.eri_t.astype(dt), d_a.reshape(npair, m * n), preferred_element_type=dt
-        ).reshape(npair, m, n)
+        if self._use_chol(dt):
+            g = self._chol_left(d_a.reshape(npair, m * n), dt).reshape(npair, m, n)
+        else:
+            g = jnp.matmul(
+                self.eri_t.astype(dt), d_a.reshape(npair, m * n),
+                preferred_element_type=dt,
+            ).reshape(npair, m, n)
         sigma = self.scatter_beta(g)
         sigma = sigma + self.apply_samespin_alpha(c) + self.apply_samespin_beta(c)
         if self.spin_shift != 0.0:
@@ -613,9 +648,14 @@ class SCIHamiltonian(SCIBasis):
             sgn_b_blk = jax.lax.dynamic_slice(sign_b_f, (0, i * cb), (npair, cb))
             # D_b in (npair, cb, m): row gathers of ct (contiguous m-runs)
             db = ct[src_b_blk] * sgn_b_blk[:, :, None]
-            g2 = jnp.matmul(
-                eri_m, db.reshape(npair, cb * m), preferred_element_type=dt
-            ).reshape(npair, cb, m)
+            if self._use_chol(dt):
+                g2 = self._chol_left(db.reshape(npair, cb * m), dt).reshape(
+                    npair, cb, m
+                )
+            else:
+                g2 = jnp.matmul(
+                    eri_m, db.reshape(npair, cb * m), preferred_element_type=dt
+                ).reshape(npair, cb, m)
             # bulk layout change -> (npair, m, cb) so the alpha picks below
             # read contiguous cb-runs
             g2 = jnp.transpose(g2, (0, 2, 1))
@@ -684,9 +724,12 @@ class SCIHamiltonian(SCIBasis):
             # D_b for this output block: (m, npair, cb) column gathers of c
             db = jnp.take(c, src_b_blk, axis=1) * sgn_b_blk[None, :, :]
             db_t = jnp.transpose(db, (1, 0, 2)).reshape(npair, m * cb)
-            g2 = jnp.matmul(eri_m, db_t, preferred_element_type=dt).reshape(
-                npair, m, cb
-            )
+            if self._use_chol(dt):
+                g2 = self._chol_left(db_t, dt).reshape(npair, m, cb)
+            else:
+                g2 = jnp.matmul(eri_m, db_t, preferred_element_type=dt).reshape(
+                    npair, m, cb
+                )
             # alpha application: row gathers within the block
             picked = jnp.take_along_axis(
                 g2, self.src_a[:, :, None].astype(jnp.int32), axis=1
@@ -741,7 +784,10 @@ class SCIHamiltonian(SCIBasis):
             blk = jax.lax.dynamic_slice(c, (0, i * cb), (m, cb))
             d = sign_a_f[:, :, None] * blk[self.src_a]  # (npair, m, cb)
             d_t = jnp.transpose(d, (1, 2, 0)).reshape(m * cb, npair)
-            g_blk = jnp.matmul(d_t, eri_m, preferred_element_type=dt)
+            if self._use_chol(dt):
+                g_blk = self._chol_right(d_t, dt)
+            else:
+                g_blk = jnp.matmul(d_t, eri_m, preferred_element_type=dt)
             gt = jax.lax.dynamic_update_slice(
                 gt, g_blk.reshape(m, cb, npair), (0, i * cb, 0)
             )
@@ -1040,6 +1086,84 @@ def _hdiag_device(a_part, b_part, occ_a, w, *, out_dtype):
     return acc.astype(out_dtype)
 
 
+def pivoted_cholesky_pairs(
+    eri: np.ndarray, norb: int, *, tol: float = 1e-13, max_rank: int | None = None
+) -> np.ndarray | None:
+    """Pivoted Cholesky factor ``L (X, npair)`` of ``V[pq, rs] = (pq|rs)``.
+
+    Physical ERIs are symmetric PSD over the pair index with numerical rank
+    X ~ 6-10x norb (the density-fitting/Cholesky-decomposition observation),
+    far below npair = norb^2 for large active spaces.  Factoring turns the
+    cross-spin pair contraction from one (npair, npair) matmul into two thin
+    ones — 4*X*npair*dim FLOPs instead of 2*npair^2*dim.
+
+    Returns None when V is not symmetric PSD to ``tol`` (e.g. the random
+    test integrals), when the rank budget is exhausted before convergence,
+    or when the residual check fails — callers then keep the exact path.
+    Host cost is O(npair^2 * X) (f64 NumPy), well under a second at 36
+    orbitals.
+    """
+    npair = norb * norb
+    v = np.asarray(eri, np.float64).reshape(npair, npair)
+    if not np.array_equal(v, v.T) and not np.allclose(v, v.T, atol=1e-12, rtol=0.0):
+        return None
+    d = np.diagonal(v).copy()
+    d0 = float(d.max(initial=0.0))
+    if d0 <= 0.0:
+        return None
+    cap = npair if max_rank is None else int(max_rank)
+    ell = np.zeros((cap, npair))
+    k = 0
+    converged = False
+    while k < cap:
+        p = int(np.argmax(d))
+        piv = float(d[p])
+        if piv <= tol * d0:
+            converged = True
+            break
+        row = v[p] - ell[:k, p] @ ell[:k]
+        ell[k] = row / np.sqrt(piv)
+        d -= ell[k] * ell[k]
+        d[p] = 0.0
+        k += 1
+    if not converged and float(d.max(initial=0.0)) > tol * d0:
+        return None
+    ell = ell[:k].copy()
+    if k == 0:
+        return None
+    # the pivot recursion assumes PSD; verify the reconstruction on an
+    # indefinite or ill-conditioned V before anything trusts the factor
+    err = float(np.abs(ell.T @ ell - v).max())
+    if err > 100.0 * tol * d0:
+        return None
+    return ell
+
+
+def _auto_col_block(npair: int, m_pad: int, n_pad: int) -> int:
+    """Beta-column block size for the cross-spin channel (0 = unblocked).
+
+    Unblocked full path up to ~320M G-elements (1.25 GB f32): measured 0.52s
+    vs 0.62s for the cb=128 blocked loop at 1e6 dets.  Beyond the budget,
+    column-block with ~48M-element tiles, floored at 128 lanes — the floor is
+    right for the production norb=16 shapes (572 MB (npair, cb, m) buffers at
+    1.9e7 dets run fine).  But in the large-norb regime (npair = norb^2 >=
+    ~1000) a 128-lane block is GBs: at 36 orbitals x 1e7 dets one blocked
+    step allocated 3 x 2.1 GB temporaries and CRASHED the TPU worker.  Past
+    a hard per-buffer cap, memory beats lane alignment: shrink cb below 128
+    (multiple of 8; the beta row gathers stay m-contiguous, only the alpha
+    pick pays smaller slices)."""
+    budget_elems = 320 * 1024 * 1024
+    if npair * m_pad * n_pad <= budget_elems:
+        return 0
+    blk_elems = 48 * 1024 * 1024
+    cb = max(128, min(n_pad, blk_elems // (npair * m_pad)))
+    cb = max(128, (cb // 128) * 128)
+    hard_cap_elems = 144 * 1024 * 1024  # ~576 MB f32 per buffer
+    if npair * m_pad * cb > hard_cap_elems:
+        cb = max(8, (hard_cap_elems // (npair * m_pad) // 8) * 8)
+    return cb if cb < n_pad else 0
+
+
 def build_sci_hamiltonian(
     strs_a_packed: np.ndarray,
     strs_b_packed: np.ndarray,
@@ -1055,6 +1179,7 @@ def build_sci_hamiltonian(
     col_block: int | str = "auto",
     tables_backend: str = "auto",
     table_cache=None,
+    eri_factor: np.ndarray | str | None = "auto",
 ) -> SCIHamiltonian:
     """Assemble the device-resident projected Hamiltonian.
 
@@ -1072,6 +1197,14 @@ def build_sci_hamiltonian(
             reuses the set-independent per-string halves of the table build
             across calls whose string sets overlap (the orchestrator's
             carryover regime); membership is re-resolved per set.
+        eri_factor: pivoted-Cholesky acceleration of the cross-spin pair
+            contraction in the f32 matvec paths (f64 paths always use the
+            exact integrals).  ``"auto"`` (default) attempts the host
+            factorization for npair > 256 and accepts it when the pair
+            matrix is symmetric PSD with rank <= npair // 3 — physical ERIs
+            factor at X ~ 6-10x norb, turning the 2*npair^2*dim matmul into
+            4*X*npair*dim.  ``None`` disables; an explicit ``(X, npair)``
+            array is used as given (trusted).
     """
     m, n = np.asarray(strs_a_packed).shape[0], np.asarray(strs_b_packed).shape[0]
     n_a, n_b = (int(x) for x in nelec)
@@ -1093,21 +1226,7 @@ def build_sci_hamiltonian(
     if m_pad < m or n_pad < n:
         raise ValueError(f"pad_to {pad_to} smaller than subspace ({m}, {n})")
     if col_block == "auto":
-        # Unblocked full path up to ~320M G-elements (1.25 GB f32): measured
-        # 0.52s vs 0.62s for the cb=128 blocked loop at 1e6 dets.  The full
-        # path needs LANE-ALIGNED shapes: at (1000, 1000) the unblocked
-        # solve failed to converge (matvec noise above tol) while the same
-        # code at (1000, 1024) converges in 11 iterations — always pad N to
-        # 128 and M to 8 here.  Beyond the budget, column-block with ~48M
-        # element tiles (the hybrid beta-first path takes over past 4 GB).
-        budget_elems = 320 * 1024 * 1024
-        if npair * m_pad * n_pad > budget_elems:
-            blk_elems = 48 * 1024 * 1024
-            cb = max(128, min(n_pad, blk_elems // (npair * m_pad)))
-            cb = max(128, (cb // 128) * 128)
-            col_block = cb if cb < n_pad else 0
-        else:
-            col_block = 0
+        col_block = _auto_col_block(npair, m_pad, n_pad)
         if npair * m_pad * n_pad > 32 * 1024 * 1024:
             # lane/sublane alignment for the unblocked, row-tiled and Pallas
             # paths (padded determinants are inert)
@@ -1138,6 +1257,17 @@ def build_sci_hamiltonian(
     eri_t_h = np.ascontiguousarray(
         np.asarray(eri, np.float64).reshape(npair, npair).T
     ).astype(np_dtype, copy=False)
+    eri_chol_h = None
+    if isinstance(eri_factor, np.ndarray):
+        eri_chol_h = np.ascontiguousarray(eri_factor, np.float64)
+        if eri_chol_h.ndim != 2 or eri_chol_h.shape[1] != npair:
+            raise ValueError(
+                f"eri_factor must be (X, {npair}), got {eri_chol_h.shape}"
+            )
+    elif eri_factor == "auto" and npair > 256:
+        eri_chol_h = pivoted_cholesky_pairs(eri, norb, max_rank=npair // 3)
+    elif eri_factor not in (None, "auto"):
+        raise ValueError(f"unknown eri_factor {eri_factor!r}")
     if use_native:
         from .. import native
 
@@ -1205,6 +1335,8 @@ def build_sci_hamiltonian(
             "nbr_val_b": vb.astype(np_dtype, copy=False),
             "eri_t": eri_t_h,
         }
+        if eri_chol_h is not None:
+            payload["eri_chol"] = eri_chol_h
         if device_diag:
             payload["a_part"] = a_part_h
             payload["b_part"] = b_part_h
@@ -1218,6 +1350,7 @@ def build_sci_hamiltonian(
         nbr_idx_a, nbr_val_a = dev["nbr_idx_a"], dev["nbr_val_a"]
         nbr_idx_b, nbr_val_b = dev["nbr_idx_b"], dev["nbr_val_b"]
         eri_t = dev["eri_t"]
+        eri_chol = dev.get("eri_chol")
         if device_diag:
             hd = _hdiag_device(
                 dev["a_part"], dev["b_part"], dev["occ_a"], dev["w"],
@@ -1247,6 +1380,7 @@ def build_sci_hamiltonian(
             big = jnp.asarray(1e30, dtype)
             hd = jnp.pad(hd, ((0, pad_m), (0, pad_n)), constant_values=big)
         eri_t = jnp.asarray(eri_t_h)
+        eri_chol = None if eri_chol_h is None else jnp.asarray(eri_chol_h)
     return SCIHamiltonian(
         src_a=src_a,
         sign_a=sign_a,
@@ -1258,6 +1392,7 @@ def build_sci_hamiltonian(
         nbr_val_b=nbr_val_b,
         eri_t=eri_t,
         hdiag=hd,
+        eri_chol=eri_chol,
         norb=norb,
         nelec=(n_a, n_b),
         spin_shift=float(spin_shift),
