@@ -55,12 +55,17 @@ ham32 = ham64.astype(jnp.float32)
 hd32 = ham32.hdiag.reshape(-1)
 _ = float(jnp.sum(hd32))
 t_build = time.perf_counter() - t0
-print(f"table build (36o, {M}x{N}): {t_build:.2f} s", flush=True)
+chol_rank = None if ham32.eri_chol is None else ham32.eri_chol.shape[0]
+print(f"table build (36o, {M}x{N}): {t_build:.2f} s  cb={ham32.col_block} "
+      f"eri_chol rank={chol_rank}", flush=True)
 
 def dav():
     v0 = davidson_initial_guess(hd32, jnp.float32)
+    # max_subspace 16: the (1e7, k) f32 Krylov workspaces are ~650 MB each;
+    # 24 pushed peak HBM over the edge together with the blocked-matvec
+    # transients at npair = 1296.
     return davidson_ground_state(sci_matvec_flat, ham32, hd32, v0,
-                                 tol=1e-4, max_subspace=24, max_iterations=200)
+                                 tol=1e-4, max_subspace=16, max_iterations=200)
 
 res = dav(); _ = float(res.theta)   # compile
 t0 = time.perf_counter(); res = dav(); theta = float(res.theta)
