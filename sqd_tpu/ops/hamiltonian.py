@@ -1273,8 +1273,21 @@ def build_sci_hamiltonian(
 
         h1_np = np.asarray(h1e, np.float64)
         eri_np = np.asarray(eri, np.float64)
-        if table_cache is not None and table_cache.usable(
-            np.asarray(strs_a_packed, np.uint32)
+
+        def _cacheable(ne: int) -> bool:
+            # The cache stores SET-INDEPENDENT per-string rows at the FULL
+            # candidate width.  At high filling that width explodes (27e/36o:
+            # 12,880 slots = ~130 KB/string) while the intersection-driven
+            # fresh build is sub-second — caching would cost more memory
+            # than it saves time.
+            nv = norb - ne
+            return 1 + ne * nv + (ne * (ne - 1) // 2) * (nv * (nv - 1) // 2) <= 4096
+
+        if (
+            table_cache is not None
+            and table_cache.usable(np.asarray(strs_a_packed, np.uint32))
+            and _cacheable(n_a)
+            and _cacheable(n_b)
         ):
             src_a_h, sign_a_h = table_cache.gather_tables(strs_a_packed, norb)
             src_b_h, sign_b_h = table_cache.gather_tables(strs_b_packed, norb)

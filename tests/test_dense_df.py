@@ -1,0 +1,110 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Dense density-fitted matvec == gather matvec (the MXU-only large-norb path)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sqd_tpu.ops import bitpack, dense_fci
+from sqd_tpu.ops.dense_df import dense_df_matvec_flat, densify
+from sqd_tpu.ops.davidson import davidson_ground_state, davidson_initial_guess
+from sqd_tpu.ops.hamiltonian import (
+    build_sci_hamiltonian,
+    pivoted_cholesky_pairs,
+    sci_matvec_flat,
+)
+
+
+def _problem(norb, nelec, m, n, seed=1, rank=None):
+    rng = np.random.default_rng(seed)
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    rank = rank or 3 * norb
+    ch = rng.normal(size=(rank, norb, norb)) * (0.4 / np.sqrt(rank))
+    ch = (ch + ch.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", ch, ch)
+    sa = np.sort(rng.choice(dense_fci.all_hamming_strings(norb, nelec[0]), m, replace=False))
+    sb = np.sort(rng.choice(dense_fci.all_hamming_strings(norb, nelec[1]), n, replace=False))
+    return h1, eri, bitpack.pack_ints(sa, norb), bitpack.pack_ints(sb, norb)
+
+
+@pytest.mark.parametrize("m,n", [(30, 30), (25, 40)])
+def test_dense_df_matvec_matches_gather_f64(m, n):
+    norb, nelec = 9, (4, 5)
+    h1, eri, pa, pb = _problem(norb, nelec, m, n, seed=3)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, eri_factor=ell)
+    op = densify(ham, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.normal(size=ham.shape))
+    s_gather = np.asarray(ham.matvec(c))  # f64 path ignores the factor: exact
+    s_dense = np.asarray(op.matvec(c))
+    # only the factorization error (~1e-13 relative) separates them
+    np.testing.assert_allclose(s_dense, s_gather, atol=1e-10 * np.abs(s_gather).max())
+
+
+def test_dense_df_matvec_f32():
+    norb, nelec = 10, (5, 5)
+    h1, eri, pa, pb = _problem(norb, nelec, 40, 40, seed=5)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, eri_factor=ell)
+    op = densify(ham, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    c = jnp.asarray(rng.normal(size=ham.shape).astype(np.float32))
+    s_gather = np.asarray(ham.astype(jnp.float32).matvec(c), np.float64)
+    s_dense = np.asarray(op.matvec(c), np.float64)
+    assert np.abs(s_dense - s_gather).max() < 3e-5 * np.abs(s_gather).max()
+
+
+def test_dense_df_with_padding():
+    """Clamped padded tables must stay inert through the one-hot build."""
+    norb, nelec = 9, (4, 4)
+    h1, eri, pa, pb = _problem(norb, nelec, 20, 20, seed=7)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(
+        pa, pb, h1, eri, norb, nelec, eri_factor=ell, pad_to=(24, 32)
+    )
+    op = densify(ham, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    c = np.zeros(ham.shape)
+    c[:20, :20] = rng.normal(size=(20, 20))
+    s_gather = np.asarray(ham.matvec(jnp.asarray(c)))
+    s_dense = np.asarray(op.matvec(jnp.asarray(c)))
+    np.testing.assert_allclose(s_dense, s_gather, atol=1e-10 * np.abs(s_gather).max())
+    # padded outputs are exactly zero on both paths
+    assert np.all(s_dense[20:, :] == 0) and np.all(s_dense[:, 20:] == 0)
+
+
+def test_dense_df_davidson_ground_state():
+    """Full solve through the dense operator lands on the gather solve."""
+    norb, nelec = 10, (5, 5)
+    h1, eri, pa, pb = _problem(norb, nelec, 36, 36, seed=11)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, eri_factor=ell)
+    op = densify(ham, dtype=jnp.float64)
+    hd = op.hdiag.reshape(-1)
+    v0 = davidson_initial_guess(hd, jnp.float64)
+    r_dense = davidson_ground_state(
+        dense_df_matvec_flat, op, hd, v0, tol=1e-9, max_subspace=20, max_iterations=200
+    )
+    hd_g = ham.hdiag.reshape(-1)
+    r_gather = davidson_ground_state(
+        sci_matvec_flat, ham, hd_g, davidson_initial_guess(hd_g, jnp.float64),
+        tol=1e-9, max_subspace=20, max_iterations=200,
+    )
+    assert abs(float(r_dense.theta) - float(r_gather.theta)) < 1e-8
+
+
+def test_densify_requires_factor_and_no_penalty():
+    norb, nelec = 8, (4, 4)
+    h1, eri, pa, pb = _problem(norb, nelec, 15, 15, seed=13)
+    ham = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, eri_factor=None)
+    with pytest.raises(ValueError, match="factor"):
+        densify(ham)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham_pen = build_sci_hamiltonian(
+        pa, pb, h1, eri, norb, nelec, eri_factor=ell, spin_shift=0.2
+    )
+    with pytest.raises(ValueError, match="spin penalty"):
+        densify(ham_pen)
