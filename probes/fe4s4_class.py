@@ -59,11 +59,24 @@ chol_rank = None if ham32.eri_chol is None else ham32.eri_chol.shape[0]
 print(f"table build (36o, {M}x{N}): {t_build:.2f} s  cb={ham32.col_block} "
       f"eri_chol rank={chol_rank}", flush=True)
 
+USE_DENSE = ham32.eri_chol is not None and "--gather" not in _sys.argv
+if USE_DENSE:
+    from sqd_tpu.ops.dense_df import densify, dense_df_matvec_flat
+    t0 = time.perf_counter()
+    op = densify(ham64, dtype=jnp.float32)
+    _ = float(jnp.sum(op.wa[0, 0]))
+    print(f"densify (wa/wb {op.wa.shape}+{op.wb.shape}): "
+          f"{time.perf_counter()-t0:.2f} s", flush=True)
+
 def dav():
     v0 = davidson_initial_guess(hd32, jnp.float32)
-    # max_subspace 16: the (1e7, k) f32 Krylov workspaces are ~650 MB each;
-    # 24 pushed peak HBM over the edge together with the blocked-matvec
-    # transients at npair = 1296.
+    # max_subspace 12-16: the (1e7, k) f32 Krylov workspaces are ~650 MB
+    # each, and the dense-DF wa/wb stacks hold ~10 GB — keep peak HBM under
+    # the 15.75 GB v5e limit.
+    if USE_DENSE:
+        return davidson_ground_state(dense_df_matvec_flat, op, hd32, v0,
+                                     tol=1e-4, max_subspace=12,
+                                     max_iterations=200)
     return davidson_ground_state(sci_matvec_flat, ham32, hd32, v0,
                                  tol=1e-4, max_subspace=16, max_iterations=200)
 

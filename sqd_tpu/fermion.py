@@ -291,6 +291,7 @@ def solve_sci(
     refine_iterations: int | None = None,
     table_cache=None,
     with_rdms: bool = True,
+    matvec_strategy: str = "gather",
     **kwargs,
 ) -> SCIResult:
     """Diagonalize the Hamiltonian in the subspace spanned by the CI strings.
@@ -331,6 +332,16 @@ def solve_sci(
             36 orbitals: ~350 intermediates per string); energy and
             occupancies never need it — pass ``False`` to skip (``rdm2`` is
             then ``None``; ``rdm1`` and occupancies are always computed).
+        matvec_strategy: ``"gather"`` (default) iterates with the gather-table
+            matvec; ``"dense_df"`` iterates with the zero-gather dense
+            density-fitted operator (:mod:`sqd_tpu.ops.dense_df`) — the
+            MXU-only form for large active spaces (npair > 256, PSD
+            integrals, no spin penalty).  Final energies/RDMs always come
+            from the exact f64 operator either way.  Note f64 refinement
+            also runs through the exact (gather) operator — at very large
+            norb each refine iteration costs a dense-ERI f64 matvec, so
+            consider ``refine_iterations=0`` there and rely on the exact
+            f64 energy evaluation (first-order-accurate in the residual).
         **kwargs: ignored extras for signature compatibility.
 
     Returns:
@@ -372,15 +383,42 @@ def solve_sci(
     scale = float(jnp.max(jnp.abs(jnp.where(jnp.abs(hd_flat) > 1e20, 0.0, hd_flat))))
     eps = float(jnp.finfo(solver_dtype).eps)
     tol_eff = max(tol, 32 * eps * max(1.0, scale))
-    result = davidson_ground_state(
-        sci_matvec_flat,
-        ham,
-        hd_flat,
-        v0,
-        tol=tol_eff,
-        max_subspace=max_subspace,
-        max_iterations=max_cycle,
-    )
+    if matvec_strategy == "dense_df":
+        if spin_sq is not None:
+            raise ValueError(
+                "matvec_strategy='dense_df' does not support the fused spin "
+                "penalty (non-PSD mixed term); use spin_sq=None"
+            )
+        if ham64.eri_chol is None:
+            raise ValueError(
+                "matvec_strategy='dense_df' requires a PSD ERI factor — "
+                "needs npair > 256 and symmetric PSD two_body_tensor "
+                "(see build_sci_hamiltonian(eri_factor=...))"
+            )
+        from .ops.dense_df import dense_df_matvec_flat, densify
+
+        dense_op = densify(ham64, dtype=solver_dtype)
+        result = davidson_ground_state(
+            dense_df_matvec_flat,
+            dense_op,
+            hd_flat,
+            v0,
+            tol=tol_eff,
+            max_subspace=max_subspace,
+            max_iterations=max_cycle,
+        )
+    elif matvec_strategy == "gather":
+        result = davidson_ground_state(
+            sci_matvec_flat,
+            ham,
+            hd_flat,
+            v0,
+            tol=tol_eff,
+            max_subspace=max_subspace,
+            max_iterations=max_cycle,
+        )
+    else:
+        raise ValueError(f"unknown matvec_strategy {matvec_strategy!r}")
     vec_flat = result.vector.astype(jnp.float64)
     if refine_iterations > 0 and solver_dtype != jnp.float64:
         result64 = davidson_ground_state(

@@ -96,6 +96,42 @@ def test_dense_df_davidson_ground_state():
     assert abs(float(r_dense.theta) - float(r_gather.theta)) < 1e-8
 
 
+def test_solve_sci_dense_df_strategy():
+    """Public API route: solve_sci(matvec_strategy='dense_df') == gather."""
+    from sqd_tpu.fermion import solve_sci
+
+    norb, nelec = 17, (3, 3)
+    rng = np.random.default_rng(21)
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    ch = rng.normal(size=(3 * norb, norb, norb)) * (0.4 / np.sqrt(3 * norb))
+    ch = (ch + ch.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", ch, ch)
+    all_s = dense_fci.all_hamming_strings(norb, 3)
+    sa = np.sort(rng.choice(all_s, 25, replace=False))
+    sb = np.sort(rng.choice(all_s, 25, replace=False))
+    r_dense = solve_sci((sa, sb), h1, eri, norb, nelec, spin_sq=None,
+                        matvec_strategy="dense_df")
+    r_gather = solve_sci((sa, sb), h1, eri, norb, nelec, spin_sq=None)
+    assert abs(r_dense.energy - r_gather.energy) < 1e-8
+    np.testing.assert_allclose(
+        r_dense.orbital_occupancies[0], r_gather.orbital_occupancies[0], atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="spin"):
+        solve_sci((sa, sb), h1, eri, norb, nelec, spin_sq=0.0,
+                  matvec_strategy="dense_df")
+    eri_bad = rng.normal(size=(norb,) * 4)
+    eri_bad = eri_bad + eri_bad.transpose(1, 0, 2, 3)
+    eri_bad = eri_bad + eri_bad.transpose(0, 1, 3, 2)
+    eri_bad = eri_bad + eri_bad.transpose(2, 3, 0, 1)
+    with pytest.raises(ValueError, match="PSD"):
+        solve_sci((sa, sb), h1, eri_bad, norb, nelec, spin_sq=None,
+                  matvec_strategy="dense_df")
+    with pytest.raises(ValueError, match="matvec_strategy"):
+        solve_sci((sa, sb), h1, eri, norb, nelec, matvec_strategy="bogus")
+
+
 def test_densify_requires_factor_and_no_penalty():
     norb, nelec = 8, (4, 4)
     h1, eri, pa, pb = _problem(norb, nelec, 15, 15, seed=13)
