@@ -43,6 +43,7 @@ def _load(name: str):
         "10_excitation_augmentation.py",
         "11_real_molecule_n2.py",
         "12_excited_states.py",
+        "13_large_active_space.py",
     ],
 )
 def test_example_runs(name, tmp_path, monkeypatch, capsys):
