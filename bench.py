@@ -106,8 +106,38 @@ def excitation_strings(count, norb, n_elec, seed):
     return np.array(sorted(seen), dtype=np.int64)
 
 
+def _tunnel_alive() -> bool:
+    """True when at least one axon relay port accepts a connection.
+
+    The tunneled-TPU client blocks FOREVER in ``make_c_api_client`` when the
+    relay (/root/.tpu_init.py) is down — observed 2026-08-17 when the relay
+    process died mid-session.  A bounded socket preflight turns an unbounded
+    hang into a fast, diagnosable failure.
+    """
+    import socket
+
+    for port in (8082, 8083, 8087, 8092, 8093, 8097, 8102, 8103, 8107, 8112, 8113, 8117):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
     import jax
+
+    if not _SMALL and not _tunnel_alive():
+        import sys
+
+        sys.stderr.write(
+            "bench: no axon tunnel relay port is listening on 127.0.0.1 "
+            "(8082-8117); the TPU client would hang forever in "
+            "make_c_api_client.  Restore the tunnel (or run the CPU smoke "
+            "test with SQD_BENCH_SMALL=1) and retry.\n"
+        )
+        raise SystemExit(3)
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     # persist EVERY compile (incl. sub-second convert/sum ops): at ~0.2-0.3 s
