@@ -60,13 +60,18 @@ class DenseDFOperator:
     haa: jax.Array  # (M, M) same-spin alpha (includes its diagonal channel)
     hbb: jax.Array  # (N, N) same-spin beta
     hdiag: jax.Array  # (M, N) — Davidson preconditioner (padded slots huge)
+    # x-axis tile for the apply loop; 0 = unchunked single einsum, required
+    # when wa/wb are SHARDED over x (a dynamic_slice along a sharded axis
+    # would reshard every iteration) — GSPMD then turns the x-reduction into
+    # one psum and the per-device footprint is (X/ndev, M, N).
+    x_chunk: int = _APPLY_X_CHUNK
 
     def tree_flatten(self):
-        return (self.wa, self.wb, self.haa, self.hbb, self.hdiag), None
+        return (self.wa, self.wb, self.haa, self.hbb, self.hdiag), (self.x_chunk,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, x_chunk=aux[0])
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -77,13 +82,20 @@ class DenseDFOperator:
         dt = c.dtype
         m, n = c.shape
         x_tot = self.wa.shape[0]
-        cx = min(_APPLY_X_CHUNK, x_tot)
-        nchunk, rem = divmod(x_tot, cx)
         with jax.default_matmul_precision("highest"):
             sigma = jnp.matmul(self.haa.astype(dt), c, preferred_element_type=dt)
             sigma = sigma + jnp.matmul(
                 c, self.hbb.astype(dt).T, preferred_element_type=dt
             )
+            if self.x_chunk == 0:
+                t = jnp.einsum(
+                    "xij,jk->xik", self.wa.astype(dt), c, preferred_element_type=dt
+                )
+                return sigma + jnp.einsum(
+                    "xik,xlk->il", t, self.wb.astype(dt), preferred_element_type=dt
+                )
+            cx = min(self.x_chunk, x_tot)
+            nchunk, rem = divmod(x_tot, cx)
 
             def body(i, sig):
                 wa_c = jax.lax.dynamic_slice(
@@ -165,7 +177,9 @@ def _dense_samespin(idx, val, dtype) -> jax.Array:
     )
 
 
-def densify(ham: SCIHamiltonian, dtype=jnp.float32) -> DenseDFOperator:
+def densify(
+    ham: SCIHamiltonian, dtype=jnp.float32, *, x_chunk: int = _APPLY_X_CHUNK
+) -> DenseDFOperator:
     """Build the dense density-fitted operator from a factored Hamiltonian.
 
     Requires ``ham.eri_chol`` (see ``build_sci_hamiltonian(eri_factor=...)``)
@@ -188,5 +202,6 @@ def densify(ham: SCIHamiltonian, dtype=jnp.float32) -> DenseDFOperator:
     haa = _dense_samespin(ham.nbr_idx_a, ham.nbr_val_a, dtype)
     hbb = _dense_samespin(ham.nbr_idx_b, ham.nbr_val_b, dtype)
     return DenseDFOperator(
-        wa=wa, wb=wb, haa=haa, hbb=hbb, hdiag=ham.hdiag.astype(dtype)
+        wa=wa, wb=wb, haa=haa, hbb=hbb, hdiag=ham.hdiag.astype(dtype),
+        x_chunk=x_chunk,
     )

@@ -383,3 +383,68 @@ def test_distributed_degenerate_single_process():
         distributed.global_mesh("a", "b", axis_sizes=(3, 5))
     with pytest.raises(ValueError, match="axis_sizes"):
         distributed.global_mesh("a", "b", "c")
+
+
+def test_dfsharded_matches_local_dense_df():
+    """Factor-axis-sharded solve == local solve (both strategies) on 8 devices."""
+    from sqd_tpu.parallel.df_sharded import solve_sci_dfsharded
+
+    norb, nelec = 17, (3, 3)
+    rng = np.random.default_rng(31)
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    ch = rng.normal(size=(3 * norb, norb, norb)) * (0.4 / np.sqrt(3 * norb))
+    ch = (ch + ch.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", ch, ch)
+    all_s = dense_fci.all_hamming_strings(norb, 3)
+    sa = np.sort(rng.choice(all_s, 20, replace=False))
+    sb = np.sort(rng.choice(all_s, 22, replace=False))
+
+    local = fermion.solve_sci((sa, sb), h1, eri, norb, nelec, spin_sq=None)
+    sharded = solve_sci_dfsharded((sa, sb), h1, eri, norb, nelec)
+    assert abs(local.energy - sharded.energy) < 1e-8
+    np.testing.assert_allclose(
+        np.ravel(local.orbital_occupancies),
+        np.ravel(sharded.orbital_occupancies),
+        atol=5e-6,
+    )
+    # the factor slices really are sharded over the mesh axis
+    # (per-device wa buffer = X_pad/ndev rows)
+    # and non-PSD integrals are rejected with a clear error
+    eri_bad = rng.normal(size=(norb,) * 4)
+    eri_bad = eri_bad + eri_bad.transpose(1, 0, 2, 3)
+    eri_bad = eri_bad + eri_bad.transpose(0, 1, 3, 2)
+    eri_bad = eri_bad + eri_bad.transpose(2, 3, 0, 1)
+    with pytest.raises(ValueError, match="PSD"):
+        solve_sci_dfsharded((sa, sb), h1, eri_bad, norb, nelec)
+
+
+def test_dfsharded_factor_slices_are_sharded():
+    """Each device holds only its X/ndev slice of the factor stacks."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sqd_tpu.ops.dense_df import _w_stack
+    from sqd_tpu.parallel.mesh import default_mesh
+    from jax.sharding import Mesh
+
+    norb = 17
+    rng = np.random.default_rng(5)
+    ch = rng.normal(size=(24, norb, norb)) * 0.2
+    ch = (ch + ch.transpose(0, 2, 1)) / 2
+    ell = ch.reshape(24, norb * norb)
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    import jax.numpy as jnp
+
+    src = jnp.zeros((norb * norb, 12), jnp.int32)
+    sign = jnp.zeros((norb * norb, 12), jnp.int8)
+    ell_sh = jax.device_put(
+        jnp.asarray(ell, jnp.float32), NamedSharding(mesh, P("x", None))
+    )
+    build = jax.jit(
+        lambda s, g, e: _w_stack(s, g, e, jnp.float32),
+        out_shardings=NamedSharding(mesh, P("x", None, None)),
+    )
+    wa = build(src, sign, ell_sh)
+    assert wa.shape == (24, 12, 12)
+    # 24 factors over 8 devices -> 3 rows per device
+    shard_shapes = {s.data.shape for s in wa.addressable_shards}
+    assert shard_shapes == {(3, 12, 12)}
