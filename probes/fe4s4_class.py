@@ -43,8 +43,10 @@ def excitation_strings(count, seed):
     return np.array(sorted(seen), dtype=np.int64)
 
 t0 = time.perf_counter()
-sa = excitation_strings(M, 1); sb = excitation_strings(N, 2)
-pa = bitpack.pack_ints(sa, NORB); pb = bitpack.pack_ints(sb, NORB)
+# same alpha/beta string set (the physical S_z = 0 sector) — lets the
+# dense-DF path alias Wb == Wa, halving its dominant HBM cost
+sa = excitation_strings(M, 1); sb = sa
+pa = bitpack.pack_ints(sa, NORB); pb = pa
 assert pa.shape[1] == 2, pa.shape  # multiword: 36 bits -> 2 uint32 words
 print(f"strings+pack: {time.perf_counter()-t0:.1f} s", flush=True)
 

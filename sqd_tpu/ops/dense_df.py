@@ -198,7 +198,13 @@ def densify(
         )
     ell = ham.eri_chol
     wa = _w_stack(ham.src_a, ham.sign_a, ell, dtype)
-    wb = _w_stack(ham.src_b, ham.sign_b, ell, dtype)
+    # identical alpha/beta string sets (every S_z = 0 workflow, incl. the
+    # [4Fe-4S] (27, 27) sector) make Wb == Wa: alias the buffer and halve
+    # the dominant HBM cost.
+    same_sets = ham.src_a.shape == ham.src_b.shape and bool(
+        jnp.all(ham.src_a == ham.src_b) & jnp.all(ham.sign_a == ham.sign_b)
+    )
+    wb = wa if same_sets else _w_stack(ham.src_b, ham.sign_b, ell, dtype)
     haa = _dense_samespin(ham.nbr_idx_a, ham.nbr_val_a, dtype)
     hbb = _dense_samespin(ham.nbr_idx_b, ham.nbr_val_b, dtype)
     return DenseDFOperator(

@@ -96,6 +96,23 @@ def test_dense_df_davidson_ground_state():
     assert abs(float(r_dense.theta) - float(r_gather.theta)) < 1e-8
 
 
+def test_densify_aliases_wb_for_identical_sets():
+    """sa == sb (S_z = 0 sector): Wb must alias Wa, not duplicate it."""
+    norb, nelec = 9, (4, 4)
+    h1, eri, pa, _ = _problem(norb, nelec, 25, 25, seed=17)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(pa, pa, h1, eri, norb, nelec, eri_factor=ell)
+    op = densify(ham, dtype=jnp.float64)
+    assert op.wb is op.wa
+    rng = np.random.default_rng(4)
+    c = jnp.asarray(rng.normal(size=ham.shape))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(c)),
+        np.asarray(ham.matvec(c)),
+        atol=1e-10 * float(jnp.abs(ham.matvec(c)).max()),
+    )
+
+
 def test_solve_sci_dense_df_strategy():
     """Public API route: solve_sci(matvec_strategy='dense_df') == gather."""
     from sqd_tpu.fermion import solve_sci
