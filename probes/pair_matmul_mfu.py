@@ -7,6 +7,7 @@ Cholesky-factor shapes.
 """
 import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
+import faulthandler; faulthandler.dump_traceback_later(300, repeat=True)
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
@@ -59,4 +60,24 @@ print(f"   -> {gf/t/1e3:.1f} TFLOP/s", flush=True)
 Ab = A.astype(jnp.bfloat16); Bb = B.astype(jnp.bfloat16)
 t = bench("bf16 inputs DEFAULT", lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), Ab, Bb)
 print(f"   -> {gf/t/1e3:.1f} TFLOP/s", flush=True)
+
+# is it an N-size effect? same K at the production-like N
+Bs = B[:, : 8 * 3163]
+with jax.default_matmul_precision("highest"):
+    t = bench(f"HIGHEST {K}x{K} @ {K}x{8*3163}",
+              lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), A, Bs)
+    print(f"   -> {2*K*K*Bs.shape[1]/1e9/t/1e3:.1f} TFLOP/s", flush=True)
+    # control at the production pair count (should reproduce ~37 TFLOP/s)
+    A256 = A[:256, :256]
+    B256 = jnp.asarray(rng.normal(size=(256, N)).astype(np.float32))
+    t = bench(f"HIGHEST 256x256 @ 256x{N} (control)",
+              lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), A256, B256)
+    print(f"   -> {2*256*256*N/1e9/t/1e3:.1f} TFLOP/s", flush=True)
+    # intermediate pair counts: where does MFU fall off?
+    for kk in (512, 768, 1024):
+        Ak = A[:kk, :kk]
+        Bk = jnp.asarray(rng.normal(size=(kk, N)).astype(np.float32))
+        t = bench(f"HIGHEST {kk}x{kk} @ {kk}x{N}",
+                  lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), Ak, Bk)
+        print(f"   -> {2*kk*kk*N/1e9/t/1e3:.1f} TFLOP/s", flush=True)
 print("OK", flush=True)
