@@ -31,7 +31,7 @@ from jax import config as _jax_config
 # arithmetic needs exact integers and the final energies are refined in f64.
 _jax_config.update("jax_enable_x64", True)
 
-__version__ = "0.3.0"
+__version__ = "0.3.1"
 
 from .counts import (  # noqa: E402,F401
     bit_array_to_arrays,
