@@ -43,7 +43,14 @@ def counts_to_arrays(counts: Mapping[str, float | int]) -> tuple[np.ndarray, np.
     if not counts:
         return np.array([]), np.array([])
     prob_dict = normalize_counts_dict(counts)
-    bs_mat = np.array([[bit == "1" for bit in bitstring] for bitstring in prob_dict])
+    keys = list(prob_dict)
+    # one bulk ASCII decode instead of a per-character Python loop
+    bs_mat = (
+        np.frombuffer("".join(keys).encode("ascii"), dtype=np.uint8).reshape(
+            len(keys), len(keys[0])
+        )
+        == ord("1")
+    )
     freq_arr = np.array(list(prob_dict.values()))
     return bs_mat, freq_arr
 
@@ -86,12 +93,26 @@ def generate_counts_uniform(
     if num_bits < 1:
         raise ValueError("The number of bits must be specified with a positive integer.")
     rng = np.random.default_rng(rand_seed)
-    bts_matrix = rng.integers(0, 2, size=(num_samples, num_bits))
-    sample_dict: dict[str, int] = {}
-    for row in bts_matrix:
-        bts = "".join("1" if bit else "0" for bit in row)
-        sample_dict[bts] = sample_dict.get(bts, 0) + 1
-    return sample_dict
+    bits = rng.integers(0, 2, size=(num_samples, num_bits), dtype=np.uint8)
+    return _count_rows(bits)
+
+
+def _count_rows(bits: np.ndarray) -> dict[str, int]:
+    """Bool/0-1 matrix -> {bitstring: multiplicity}, fully vectorized.
+
+    Dedup runs on the packed-word representation; only the unique rows are
+    ever stringified (one bulk ASCII encode, no per-bit Python loop).
+    """
+    n_bits = bits.shape[1]
+    uniq, cnt = bitpack.unique_packed(
+        bitpack.pack_bool_matrix(bits.astype(bool)), return_counts=True
+    )
+    ubits = bitpack.unpack_to_bool_matrix(uniq, n_bits)
+    raw = (ubits.astype(np.uint8) + ord("0")).tobytes()
+    return {
+        raw[i * n_bits : (i + 1) * n_bits].decode("ascii"): int(c)
+        for i, c in enumerate(cnt)
+    }
 
 
 def generate_bit_array_uniform(
@@ -138,16 +159,19 @@ def generate_counts_bipartite_hamming(
 
     rng = np.random.default_rng(rand_seed)
     half = num_bits // 2
-    sample_dict: dict[str, int] = {}
-    for _ in range(num_samples):
-        up_flips = rng.choice(half, hamming_right, replace=False)
-        dn_flips = rng.choice(half, hamming_left, replace=False)
-        bts_arr = np.zeros(num_bits, dtype=int)
-        bts_arr[dn_flips] = 1
-        bts_arr[up_flips + half] = 1
-        bts = "".join("1" if bit else "0" for bit in bts_arr)
-        sample_dict[bts] = sample_dict.get(bts, 0) + 1
-    return sample_dict
+    if hamming_left > half or hamming_right > half:
+        # same surface the reference hits inside rng.choice(half, k, replace=False)
+        raise ValueError("Cannot take a larger sample than population when 'replace=False'")
+
+    def random_subsets(k: int) -> np.ndarray:
+        # the k smallest of iid uniforms form a uniformly random k-subset;
+        # one argsort replaces num_samples rng.choice calls
+        return np.argsort(rng.random((num_samples, half)), axis=1)[:, :k]
+
+    bits = np.zeros((num_samples, num_bits), dtype=np.uint8)
+    np.put_along_axis(bits[:, :half], random_subsets(hamming_left), 1, axis=1)
+    np.put_along_axis(bits[:, half:], random_subsets(hamming_right), 1, axis=1)
+    return _count_rows(bits)
 
 
 def normalize_counts_dict(counts: Mapping[str, float | int]) -> Mapping[str, float]:

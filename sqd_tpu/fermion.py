@@ -238,22 +238,36 @@ def bitstring_matrix_to_ci_strs(
     return strs_right, strs_left
 
 
+def _popcounts(strs: np.ndarray) -> np.ndarray:
+    """Vectorized per-string popcount (native kernel for machine ints)."""
+    if strs.dtype == object:  # >= 64 orbitals: unbounded Python ints
+        return np.fromiter(
+            (int(s).bit_count() for s in strs), dtype=np.int64, count=len(strs)
+        )
+    from . import native
+    from .ops import bitpack
+
+    return native.popcount_rows(bitpack.pack_ints(strs, 64))
+
+
 def _check_ci_strs(ci_strs) -> tuple[np.ndarray, np.ndarray]:
     """Validate uniform Hamming weight per spin; return sorted unique arrays.
 
-    Matches the validation of reference ``fermion.py:865-887``.
+    Matches the validation of reference ``fermion.py:865-887`` (same error
+    text, first offending index reported) without its per-string Python loop.
     """
     out = []
     for label, strs in zip(("up", "down"), ci_strs):
         strs = np.asarray(strs)
-        ham0 = bin(int(strs[0])).count("1")
-        for i, s in enumerate(strs):
-            ham = bin(int(s)).count("1")
-            if ham != ham0:
-                raise ValueError(
-                    f"Spin-{label} CI string in index 0 has hamming weight {ham0}, but CI "
-                    f"string in index {i} has hamming weight {ham}."
-                )
+        counts = _popcounts(strs)
+        ham0 = int(counts[0])
+        bad = np.nonzero(counts != ham0)[0]
+        if bad.size:
+            i = int(bad[0])
+            raise ValueError(
+                f"Spin-{label} CI string in index 0 has hamming weight {ham0}, but CI "
+                f"string in index {i} has hamming weight {int(counts[i])}."
+            )
         out.append(np.sort(np.unique(strs)))
     return out[0], out[1]
 

@@ -81,3 +81,31 @@ def test_default_refinement_energy_accuracy(solves):
     # the raw f32 energy is already second-order accurate; refinement must
     # never make it worse
     assert abs(refined32.energy - ref.energy) <= abs(raw32.energy - ref.energy) + 1e-12
+
+
+def test_error_contract_second_scale_point():
+    """The residual->observable contract (docs/design/davidson.md) holds a
+    decade below the primary fixture: ~1.4e4 determinants (norb=10, 120
+    strings/spin).  Pins BOTH halves: energy second-order (< 1e-8 Ha) and
+    refined occupancies below the orchestrator's occupancies_tol."""
+    norb = 10
+    rng = np.random.default_rng(23)
+    orb_e = np.linspace(-6.0, 2.0, norb)
+    h1 = np.diag(orb_e) + 0.05 * rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    chol = rng.normal(size=(2 * norb, norb, norb)) * (0.5 / np.sqrt(2 * norb))
+    chol = (chol + chol.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", chol, chol)
+    strs = dense_fci.all_hamming_strings(norb, 3)
+
+    ref = fermion.solve_sci(
+        (strs, strs), h1, eri, norb=norb, nelec=(3, 3), solver_dtype=np.float64
+    )
+    refined32 = fermion.solve_sci(
+        (strs, strs), h1, eri, norb=norb, nelec=(3, 3), solver_dtype=np.float32
+    )
+    assert abs(refined32.energy - ref.energy) < 1e-8
+    docc = np.max(
+        np.abs(np.ravel(ref.orbital_occupancies) - np.ravel(refined32.orbital_occupancies))
+    )
+    assert docc < 1e-5, docc
