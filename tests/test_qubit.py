@@ -302,3 +302,83 @@ def test_connected_table_pair_all_partners_present():
     np.testing.assert_array_equal(np.asarray(col_new), np.asarray(col_ref))
     np.testing.assert_array_equal(np.asarray(sign_new), np.asarray(sign_ref))
     assert (np.asarray(col_new) < sp.shape[0]).all()
+
+
+def test_projected_operator_groups_by_x_mask():
+    """XX_j and YY_j share an x-mask; every ZZ/field term is diagonal — the
+    grouped operator must collapse a 4L-term ring into L+1 gather rounds and
+    still match the per-term assembly exactly (incl. complex Y algebra)."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops.pauli_proj import build_projected_operator, pauli_term_table
+
+    n = 10
+    op = heisenberg_ring(n, j_xx=0.9, j_yy=1.1, j_zz=0.7, h_z=0.2)
+    rng = np.random.default_rng(8)
+    ints = np.unique(rng.integers(0, 1 << n, size=400, dtype=np.int64))
+    packed = np.zeros((len(ints), 1), dtype=np.uint32)
+    packed[:, 0] = ints
+    proj = build_projected_operator(packed, op.paulis, op.coeffs)
+    assert proj.num_groups == n + 1  # L shared XX/YY masks + 1 diagonal group
+    assert len(op.coeffs) == 4 * n
+
+    # independent per-term assembly through pauli_term_table
+    d = len(ints)
+    v = rng.normal(size=d)
+    ref = np.zeros(d, dtype=complex)
+    vp = np.concatenate([v, [0.0]])
+    for p, c in zip(op.paulis, np.asarray(op.coeffs)):
+        col, sign, phase = pauli_term_table(jnp.asarray(packed), p)
+        ref += complex(c) * phase * np.asarray(sign) * vp[np.asarray(col)]
+    if proj.is_complex:
+        emb = np.concatenate([v, np.zeros(d)])
+        out = np.asarray(proj.matvec(jnp.asarray(emb)))
+        got = out[:d] + 1j * out[d:]
+    else:
+        got = np.asarray(proj.matvec(jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_projected_operator_large_d_chunked_pairing_path():
+    """d >= 1e6 takes the chunk-batched involution-pairing build; it must
+    agree with the per-term tables (which are pinned against binary search
+    elsewhere in this file)."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops import pauli_proj
+    from sqd_tpu.ops.pauli_proj import build_projected_operator, pauli_term_table
+
+    nq, d_target = 24, 1_000_000
+    rng = np.random.default_rng(9)
+    ints = np.unique(rng.integers(0, 1 << nq, size=d_target + 80_000, dtype=np.int64))[
+        :d_target
+    ]
+    assert len(ints) == d_target
+    packed = np.zeros((len(ints), 1), dtype=np.uint32)
+    packed[:, 0] = ints
+    labels = ["Z" * nq, "X" + "Z" * (nq - 1), "ZZ" + "X" * (nq - 2), "Y" + "I" * (nq - 1)]
+    # the Y term (qubit 23) shares its x-mask with the X+Z^23 term; the last
+    # term puts X on qubit 0 — a fourth, distinct group
+    labels.append("I" * (nq - 1) + "X")
+    paulis = [Pauli.from_label(s) for s in labels]
+    coeffs = np.array([0.5, 1.0, -0.25, 0.75, 0.3])
+    # force a tiny pairing batch so the chunk loop (pad + multiple rounds) runs
+    old = pauli_proj._PAIR_BATCH_BYTES
+    pauli_proj._PAIR_BATCH_BYTES = d_target * 3 * 4 * 3 + 1  # uc == 1
+    try:
+        proj = build_projected_operator(packed, paulis, coeffs)
+    finally:
+        pauli_proj._PAIR_BATCH_BYTES = old
+    assert proj.num_groups == 4  # Z-diag, x=1<<23 (shared by 2 terms), wide-x, x=1
+    d = len(ints)
+    rng_v = np.random.default_rng(10)
+    v = rng_v.normal(size=d)
+    vp = np.concatenate([v, [0.0]])
+    ref = np.zeros(d, dtype=complex)
+    for p, c in zip(paulis, coeffs):
+        col, sign, phase = pauli_term_table(jnp.asarray(packed), p)
+        ref += complex(c) * phase * np.asarray(sign) * vp[np.asarray(col)]
+    emb = np.concatenate([v, np.zeros(d)])
+    out = np.asarray(proj.matvec(jnp.asarray(emb)))
+    got = out[:d] + 1j * out[d:]
+    np.testing.assert_allclose(got, ref, atol=1e-10)
