@@ -40,6 +40,27 @@ _CART = {
     2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
 }
 
+_SQRT3 = np.sqrt(3.0)
+
+# Cartesian -> real-solid-harmonic transform, rows m = (-l..l), cols in _CART
+# order.  Coefficients assume every Cartesian component carries the (l,0,0)
+# normalization (exactly what Molecule.__post_init__ produces): with
+# <xx|xx> = 1 and <xy|xy> = 1/3, each row below is unit-normalized, so the
+# spherical AO overlap has a unit diagonal (pinned in tests/test_chem_d.py).
+_C2S = {
+    0: np.eye(1),
+    1: np.eye(3),
+    2: np.array(
+        [
+            [0.0, _SQRT3, 0.0, 0.0, 0.0, 0.0],  # d_{-2} ~ xy
+            [0.0, 0.0, 0.0, 0.0, _SQRT3, 0.0],  # d_{-1} ~ yz
+            [-0.5, 0.0, 0.0, -0.5, 0.0, 1.0],  # d_0 ~ (2z^2 - x^2 - y^2)/2
+            [0.0, 0.0, _SQRT3, 0.0, 0.0, 0.0],  # d_{+1} ~ xz
+            [_SQRT3 / 2, 0.0, 0.0, -_SQRT3 / 2, 0.0, 0.0],  # d_{+2} ~ x^2-y^2
+        ]
+    ),
+}
+
 
 @dataclass(frozen=True)
 class Shell:
@@ -52,7 +73,13 @@ class Shell:
 
     @property
     def ncomp(self) -> int:
+        """Cartesian component count (the engine's internal working basis)."""
         return len(_CART[self.l])
+
+    @property
+    def nsph(self) -> int:
+        """Real-solid-harmonic component count (the emitted AO basis)."""
+        return 2 * self.l + 1
 
 
 def _prim_norm(a: np.ndarray, l: int) -> np.ndarray:
@@ -105,6 +132,11 @@ class Molecule:
 
     @property
     def nao(self) -> int:
+        """Emitted AO count: real solid harmonics (5 per d shell, not 6)."""
+        return sum(sh.nsph for sh in self.shells)
+
+    @property
+    def nao_cart(self) -> int:
         return sum(sh.ncomp for sh in self.shells)
 
     @property
@@ -356,10 +388,49 @@ def _eri_quartet(spab: _ShellPair, spcd: _ShellPair):
     return out
 
 
-def ao_integrals(mol: Molecule):
-    """All AO integrals: ``(S, T, V, eri)`` with eri in chemist ``(pq|rs)``."""
+def _sph_transform_matrix(shells) -> np.ndarray:
+    """Block-diagonal Cartesian->spherical map, shape (nao_cart, nao_sph)."""
+    ncart = sum(sh.ncomp for sh in shells)
+    nsph = sum(sh.nsph for sh in shells)
+    c = np.zeros((ncart, nsph))
+    ic = isph = 0
+    for sh in shells:
+        c[ic : ic + sh.ncomp, isph : isph + sh.nsph] = _C2S[sh.l].T
+        ic += sh.ncomp
+        isph += sh.nsph
+    return c
+
+
+def ao_integrals(mol: Molecule, backend: str = "auto"):
+    """All AO integrals: ``(S, T, V, eri)`` with eri in chemist ``(pq|rs)``.
+
+    Integrals are evaluated over Cartesian Gaussians and, for any shell with
+    ``l >= 2``, transformed to real solid harmonics (so a d shell emits 5
+    AOs, matching the spherical-harmonic convention of correlation-consistent
+    basis sets — the reference's guides get this from PySCF's default
+    ``cart=False``).
+
+    ``backend="auto"`` uses the native C++ McMurchie-Davidson kernel when
+    available (the Python quartet loops cost ~40 s for N2/cc-pVDZ; the native
+    path is ~2 orders faster and pinned to 1e-12 against this module in
+    ``tests/test_chem_native.py``); ``"numpy"`` forces the in-module path.
+    """
+    if backend not in ("auto", "native", "numpy"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "numpy":
+        from .. import native
+
+        out = native.ao_integrals_cart(mol.shells, mol.charges, mol.coords)
+        if out is not None:
+            S, T, V, eri = out
+            return _to_spherical(mol.shells, S, T, V, eri)
+        if backend == "native":
+            raise RuntimeError(
+                "native integrals requested but libsqdcore is unavailable "
+                "or a shell has l > 2"
+            )
     shells = mol.shells
-    nao = mol.nao
+    nao = mol.nao_cart
     offs = np.cumsum([0] + [sh.ncomp for sh in shells])
     S = np.zeros((nao, nao))
     T = np.zeros((nao, nao))
@@ -390,6 +461,21 @@ def ao_integrals(mol: Molecule):
         for (k, l) in pair_list[: a_idx + 1]:
             block = _eri_quartet(pairs[(i, j)], pairs[(k, l)])
             _fill_eri(eri, block, offs, i, j, k, l)
+
+    return _to_spherical(shells, S, T, V, eri)
+
+
+def _to_spherical(shells, S, T, V, eri):
+    """Apply the Cartesian -> real-solid-harmonic transform (identity for s/p)."""
+    if any(sh.l >= 2 for sh in shells):
+        c = _sph_transform_matrix(shells)
+        S = c.T @ S @ c
+        T = c.T @ T @ c
+        V = c.T @ V @ c
+        eri = np.einsum("pqrs,pi->iqrs", eri, c, optimize=True)
+        eri = np.einsum("iqrs,qj->ijrs", eri, c, optimize=True)
+        eri = np.einsum("ijrs,rk->ijks", eri, c, optimize=True)
+        eri = np.einsum("ijks,sl->ijkl", eri, c, optimize=True)
     return S, T, V, eri
 
 

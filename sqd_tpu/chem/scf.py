@@ -52,13 +52,21 @@ def rhf(
     conv_tol: float = 1e-11,
     max_cycle: int = 200,
     diis_size: int = 8,
+    integrals=None,
 ) -> RHFResult:
-    """Solve closed-shell RHF; raises if the electron count is odd."""
+    """Solve closed-shell RHF; raises if the electron count is odd.
+
+    Args:
+        integrals: optional precomputed ``(S, T, V, eri)`` from
+            :func:`ao_integrals` — the AO build dominates wall-clock for
+            d-shell bases (cc-pVDZ N2 ~40 s), so callers that also need the
+            raw integrals should compute them once and pass them in.
+    """
     nelec = mol.nelectron
     if nelec % 2:
         raise ValueError(f"RHF needs an even electron count, got {nelec}")
     nocc = nelec // 2
-    S, T, V, eri = ao_integrals(mol)
+    S, T, V, eri = ao_integrals(mol) if integrals is None else integrals
     hcore = T + V
     e_nuc = nuclear_repulsion(mol)
     nao = S.shape[0]

@@ -127,6 +127,12 @@ def _load():
             f64p, f64p, i32p, f64p, ctypes.c_int64,
         ]
         lib.samespin_sparse_fill.restype = None
+        ci32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        lib.ao_integrals_cart.argtypes = [
+            ctypes.c_int, ci32p, f64p, ci32p, f64p, f64p,
+            ctypes.c_int, f64p, f64p, ctypes.c_int, f64p, f64p, f64p, f64p,
+        ]
+        lib.ao_integrals_cart.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -344,3 +350,44 @@ def samespin_tables(
     idx[~keep] = 0
     val[~keep] = 0.0
     return idx, val
+
+
+def ao_integrals_cart(shells, charges, coords):
+    """Cartesian AO integrals ``(S, T, V, eri)`` via the native MD kernel.
+
+    ``shells`` is the :class:`sqd_tpu.chem.integrals.Shell` list of a built
+    Molecule (normalized coefficients).  Returns ``None`` when the native
+    library is unavailable or a shell has l > 2 — the caller falls back to
+    the NumPy path (:func:`sqd_tpu.chem.integrals.ao_integrals`), which is
+    the algorithmic reference this kernel is pinned against.
+    """
+    lib = _load()
+    if lib is None or any(sh.l > 2 for sh in shells):
+        return None
+    ls = np.ascontiguousarray([sh.l for sh in shells], dtype=np.int32)
+    centers = np.ascontiguousarray(
+        np.concatenate([np.asarray(sh.center, np.float64) for sh in shells])
+    )
+    prim_offs = np.zeros(len(shells) + 1, dtype=np.int32)
+    for i, sh in enumerate(shells):
+        prim_offs[i + 1] = prim_offs[i] + len(sh.exps)
+    exps = np.ascontiguousarray(
+        np.concatenate([np.asarray(sh.exps, np.float64) for sh in shells])
+    )
+    coefs = np.ascontiguousarray(
+        np.concatenate([np.asarray(sh.coefs, np.float64) for sh in shells])
+    )
+    charges = np.ascontiguousarray(charges, dtype=np.float64)
+    coords = np.ascontiguousarray(coords, dtype=np.float64).reshape(-1)
+    nao = int(sum((sh.l + 1) * (sh.l + 2) // 2 for sh in shells))
+    s = np.zeros((nao, nao), dtype=np.float64)
+    t = np.zeros((nao, nao), dtype=np.float64)
+    v = np.zeros((nao, nao), dtype=np.float64)
+    eri = np.zeros((nao, nao, nao, nao), dtype=np.float64)
+    rc = lib.ao_integrals_cart(
+        len(shells), ls, centers, prim_offs, exps, coefs,
+        len(charges), charges, coords, nao, s, t, v, eri,
+    )
+    if rc != 0:  # pragma: no cover - guarded by the l<=2 check above
+        return None
+    return s, t, v, eri

@@ -759,3 +759,343 @@ void samespin_sparse_fill(const uint32_t* strs, int64_t n, int w, int norb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// McMurchie-Davidson molecular integrals (host kernel for sqd_tpu.chem)
+//
+// Same algorithm as sqd_tpu/chem/integrals.py (the NumPy fallback), in C++
+// because the Python quartet loops cost ~40 s for N2/cc-pVDZ.  Supports
+// l <= 2 Cartesian shells (s, p, 6d); the Python layer applies the
+// Cartesian -> real-solid-harmonic transform.  Pinned against the Python
+// path (1e-12) in tests/test_chem_native.py.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+namespace md {
+
+constexpr int LMAX = 2;           // highest shell angular momentum
+constexpr int IMAX = LMAX + 1;    // bra Cartesian exponent 0..2
+constexpr int JMAX = LMAX + 3;    // ket exponent 0..4 (kinetic +2)
+constexpr int TMAX = IMAX + JMAX; // Hermite order upper bound
+constexpr int RN = 4 * LMAX;      // max Boys order for ERI: 8
+constexpr int RDIM = RN + 1;      // R-table axis extent
+
+// Cartesian component triples per l, matching integrals.py _CART order.
+static const int CART[3][6][3] = {
+    {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}},
+    {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}},
+    {{2, 0, 0}, {1, 1, 0}, {1, 0, 1}, {0, 2, 0}, {0, 1, 1}, {0, 0, 2}},
+};
+static inline int ncomp(int l) { return (l + 1) * (l + 2) / 2; }
+
+// F_n(x) for n = 0..nmax: series at the top order (all-positive terms, no
+// cancellation) + stable downward recursion; pure asymptotic above x = 35
+// where exp(-x) < 7e-16 makes upward recursion exact.
+static void boys(int nmax, double x, double* F) {
+    if (x < 1e-13) {
+        for (int n = 0; n <= nmax; ++n) F[n] = 1.0 / (2.0 * n + 1.0);
+        return;
+    }
+    if (x > 35.0) {
+        F[0] = 0.5 * std::sqrt(M_PI / x);
+        const double ex = std::exp(-x);
+        for (int n = 0; n < nmax; ++n)
+            F[n + 1] = ((2.0 * n + 1.0) * F[n] - ex) / (2.0 * x);
+        return;
+    }
+    const double ex = std::exp(-x);
+    double term = 1.0 / (2.0 * nmax + 1.0);
+    double acc = term;
+    for (int k = 0; k < 300; ++k) {
+        term *= 2.0 * x / (2.0 * nmax + 2.0 * k + 3.0);
+        acc += term;
+        if (term < 1e-17 * acc) break;
+    }
+    F[nmax] = acc * ex;
+    for (int n = nmax - 1; n >= 0; --n)
+        F[n] = (2.0 * x * F[n + 1] + ex) / (2.0 * n + 1.0);
+}
+
+static inline int ridx(int n, int t, int u, int v) {
+    return ((n * RDIM + t) * RDIM + u) * RDIM + v;
+}
+
+// Hermite Coulomb table: R[ridx(n,t,u,v)] for n+t+u+v <= N (N <= RN).
+static void hermite_R(int N, double p, const double* pc, double* R) {
+    double F[RN + 1];
+    boys(N, p * (pc[0] * pc[0] + pc[1] * pc[1] + pc[2] * pc[2]), F);
+    double m2p = 1.0;  // (-2p)^n
+    for (int n = 0; n <= N; ++n) {
+        R[ridx(n, 0, 0, 0)] = m2p * F[n];
+        m2p *= -2.0 * p;
+    }
+    for (int n = N - 1; n >= 0; --n) {
+        const int rem = N - n;
+        for (int t = 0; t <= rem; ++t)
+            for (int u = 0; u + t <= rem; ++u)
+                for (int v = 0; v + t + u <= rem; ++v) {
+                    if (t == 0 && u == 0 && v == 0) continue;
+                    double val;
+                    if (t > 0) {
+                        val = pc[0] * R[ridx(n + 1, t - 1, u, v)];
+                        if (t > 1) val += (t - 1) * R[ridx(n + 1, t - 2, u, v)];
+                    } else if (u > 0) {
+                        val = pc[1] * R[ridx(n + 1, t, u - 1, v)];
+                        if (u > 1) val += (u - 1) * R[ridx(n + 1, t, u - 2, v)];
+                    } else {
+                        val = pc[2] * R[ridx(n + 1, t, u, v - 1)];
+                        if (v > 1) val += (v - 1) * R[ridx(n + 1, t, u, v - 2)];
+                    }
+                    R[ridx(n, t, u, v)] = val;
+                }
+    }
+}
+
+// One Hermite product term of a bra/ket component pair.
+struct HTerm {
+    int t, u, v;
+    double val;         // E^x * E^y * E^z
+    double signed_val;  // val * (-1)^(t+u+v) (used when the pair is the ket)
+};
+
+struct PrimPair {
+    double p, cc;
+    double P[3];
+    double E[3][IMAX][JMAX][TMAX];  // E[d][i][j][t]
+};
+
+struct ShellPair {
+    int la, lb, ia_off, ib_off, sa, sb;
+    std::vector<PrimPair> prims;
+    // bra Hermite terms: [prim][comp_a * ncomp_b + comp_b] -> term list
+    std::vector<std::vector<std::vector<HTerm>>> terms;
+};
+
+static void build_pair(const int* ls, const double* centers,
+                       const int* prim_offs, const double* exps,
+                       const double* coefs, int sa, int sb,
+                       const int* ao_offs, ShellPair& sp) {
+    sp.la = ls[sa];
+    sp.lb = ls[sb];
+    sp.sa = sa;
+    sp.sb = sb;
+    sp.ia_off = ao_offs[sa];
+    sp.ib_off = ao_offs[sb];
+    const double* A = centers + 3 * sa;
+    const double* B = centers + 3 * sb;
+    const int na = prim_offs[sa + 1] - prim_offs[sa];
+    const int nb = prim_offs[sb + 1] - prim_offs[sb];
+    sp.prims.resize((size_t)na * nb);
+    sp.terms.resize((size_t)na * nb);
+    const int nca = ncomp(sp.la), ncb = ncomp(sp.lb);
+    int pp = 0;
+    for (int ka = 0; ka < na; ++ka)
+        for (int kb = 0; kb < nb; ++kb, ++pp) {
+            const double a = exps[prim_offs[sa] + ka];
+            const double b = exps[prim_offs[sb] + kb];
+            PrimPair& q = sp.prims[pp];
+            q.p = a + b;
+            q.cc = coefs[prim_offs[sa] + ka] * coefs[prim_offs[sb] + kb];
+            const double mu = a * b / q.p;
+            const double inv2p = 0.5 / q.p;
+            for (int d = 0; d < 3; ++d) {
+                q.P[d] = (a * A[d] + b * B[d]) / q.p;
+                const double pa = q.P[d] - A[d];
+                const double pb = q.P[d] - B[d];
+                const double ab = A[d] - B[d];
+                auto& E = q.E[d];
+                std::memset(E, 0, sizeof(q.E[d]));
+                E[0][0][0] = std::exp(-mu * ab * ab);
+                for (int i = 1; i <= sp.la; ++i)
+                    for (int t = 0; t <= i; ++t) {
+                        double val = pa * E[i - 1][0][t];
+                        if (t > 0) val += inv2p * E[i - 1][0][t - 1];
+                        if (t + 1 <= i - 1) val += (t + 1) * E[i - 1][0][t + 1];
+                        E[i][0][t] = val;
+                    }
+                for (int j = 1; j <= sp.lb + 2; ++j)
+                    for (int i = 0; i <= sp.la; ++i)
+                        for (int t = 0; t <= i + j; ++t) {
+                            double val = pb * E[i][j - 1][t];
+                            if (t > 0) val += inv2p * E[i][j - 1][t - 1];
+                            if (t + 1 <= i + j - 1) val += (t + 1) * E[i][j - 1][t + 1];
+                            E[i][j][t] = val;
+                        }
+            }
+            // bra Hermite product terms per component pair (ERI uses j <= lb)
+            auto& tl = sp.terms[pp];
+            tl.resize((size_t)nca * ncb);
+            for (int ca = 0; ca < nca; ++ca)
+                for (int cb = 0; cb < ncb; ++cb) {
+                    const int ax = CART[sp.la][ca][0], ay = CART[sp.la][ca][1],
+                              az = CART[sp.la][ca][2];
+                    const int bx = CART[sp.lb][cb][0], by = CART[sp.lb][cb][1],
+                              bz = CART[sp.lb][cb][2];
+                    auto& lst = tl[(size_t)ca * ncb + cb];
+                    for (int t = 0; t <= ax + bx; ++t) {
+                        const double ex = q.E[0][ax][bx][t];
+                        if (ex == 0.0) continue;
+                        for (int u = 0; u <= ay + by; ++u) {
+                            const double exy = ex * q.E[1][ay][by][u];
+                            if (exy == 0.0) continue;
+                            for (int v = 0; v <= az + bz; ++v) {
+                                const double e3 = exy * q.E[2][az][bz][v];
+                                if (e3 == 0.0) continue;
+                                const double sgn = ((t + u + v) & 1) ? -1.0 : 1.0;
+                                lst.push_back({t, u, v, e3, e3 * sgn});
+                            }
+                        }
+                    }
+                }
+        }
+}
+
+}  // namespace md
+
+extern "C" {
+
+// Full Cartesian AO integrals: S, T, V (nao*nao) and ERI (nao^4, chemist).
+// Shells must all have l <= 2.  Returns 0 on success, nonzero on bad input.
+int ao_integrals_cart(int nshell, const int* ls, const double* centers,
+                      const int* prim_offs, const double* exps,
+                      const double* coefs, int natom, const double* charges,
+                      const double* coords, int nao, double* S, double* T,
+                      double* V, double* eri) {
+    using namespace md;
+    std::vector<int> ao_offs(nshell + 1, 0);
+    for (int s = 0; s < nshell; ++s) {
+        if (ls[s] < 0 || ls[s] > LMAX) return 1;
+        ao_offs[s + 1] = ao_offs[s] + ncomp(ls[s]);
+    }
+    if (ao_offs[nshell] != nao) return 2;
+
+    // shell pairs (i >= j), ordered like the Python dict: (i, j) ascending
+    std::vector<ShellPair> pairs;
+    pairs.reserve((size_t)nshell * (nshell + 1) / 2);
+    for (int i = 0; i < nshell; ++i)
+        for (int j = 0; j <= i; ++j) {
+            pairs.emplace_back();
+            build_pair(ls, centers, prim_offs, exps, coefs, i, j,
+                       ao_offs.data(), pairs.back());
+        }
+
+    // ---- one-electron integrals ----
+    std::vector<double> R((size_t)RDIM * RDIM * RDIM * RDIM);
+    for (const ShellPair& sp : pairs) {
+        const int nca = ncomp(sp.la), ncb = ncomp(sp.lb);
+        const int lsum = sp.la + sp.lb;
+        std::vector<double> sblk((size_t)nca * ncb, 0.0);
+        std::vector<double> tblk((size_t)nca * ncb, 0.0);
+        std::vector<double> vblk((size_t)nca * ncb, 0.0);
+        const int nb = prim_offs[sp.sb + 1] - prim_offs[sp.sb];
+        for (size_t pp = 0; pp < sp.prims.size(); ++pp) {
+            const PrimPair& q = sp.prims[pp];
+            const double b = exps[prim_offs[sp.sb] + (int)(pp % nb)];
+            const double pref = std::pow(M_PI / q.p, 1.5) * q.cc;
+            for (int ca = 0; ca < nca; ++ca)
+                for (int cb = 0; cb < ncb; ++cb) {
+                    double sd[3], kd[3];
+                    for (int d = 0; d < 3; ++d) {
+                        const int i = CART[sp.la][ca][d], j = CART[sp.lb][cb][d];
+                        sd[d] = q.E[d][i][j][0];
+                        kd[d] = b * (2 * j + 1) * q.E[d][i][j][0] -
+                                2.0 * b * b * q.E[d][i][j + 2][0];
+                        if (j >= 2) kd[d] -= 0.5 * j * (j - 1) * q.E[d][i][j - 2][0];
+                    }
+                    sblk[(size_t)ca * ncb + cb] += pref * sd[0] * sd[1] * sd[2];
+                    tblk[(size_t)ca * ncb + cb] +=
+                        pref * (kd[0] * sd[1] * sd[2] + sd[0] * kd[1] * sd[2] +
+                                sd[0] * sd[1] * kd[2]);
+                }
+            // nuclear attraction: t+u+v of one pair is bounded by la+lb
+            const double vpref = 2.0 * M_PI / q.p * q.cc;
+            for (int at = 0; at < natom; ++at) {
+                const double pc[3] = {q.P[0] - coords[3 * at],
+                                      q.P[1] - coords[3 * at + 1],
+                                      q.P[2] - coords[3 * at + 2]};
+                hermite_R(lsum, q.p, pc, R.data());
+                for (int ca = 0; ca < nca; ++ca)
+                    for (int cb = 0; cb < ncb; ++cb) {
+                        double acc = 0.0;
+                        for (const HTerm& h : sp.terms[pp][(size_t)ca * ncb + cb])
+                            acc += h.val * R[ridx(0, h.t, h.u, h.v)];
+                        vblk[(size_t)ca * ncb + cb] -= charges[at] * vpref * acc;
+                    }
+            }
+        }
+        for (int ca = 0; ca < nca; ++ca)
+            for (int cb = 0; cb < ncb; ++cb) {
+                const int p = sp.ia_off + ca, r = sp.ib_off + cb;
+                S[(size_t)p * nao + r] = sblk[(size_t)ca * ncb + cb];
+                T[(size_t)p * nao + r] = tblk[(size_t)ca * ncb + cb];
+                V[(size_t)p * nao + r] = vblk[(size_t)ca * ncb + cb];
+                S[(size_t)r * nao + p] = S[(size_t)p * nao + r];
+                T[(size_t)r * nao + p] = T[(size_t)p * nao + r];
+                V[(size_t)r * nao + p] = V[(size_t)p * nao + r];
+            }
+    }
+
+    // ---- two-electron integrals ----
+    const size_t n2 = (size_t)nao * nao, n3 = n2 * nao;
+    std::vector<double> blk;
+    for (size_t A = 0; A < pairs.size(); ++A) {
+        const ShellPair& ab = pairs[A];
+        const int nca = ncomp(ab.la), ncb = ncomp(ab.lb);
+        for (size_t C = 0; C <= A; ++C) {
+            const ShellPair& cd = pairs[C];
+            const int ncc = ncomp(cd.la), ncd = ncomp(cd.lb);
+            const int N = ab.la + ab.lb + cd.la + cd.lb;
+            blk.assign((size_t)nca * ncb * ncc * ncd, 0.0);
+            for (size_t pa = 0; pa < ab.prims.size(); ++pa) {
+                const PrimPair& qa = ab.prims[pa];
+                for (size_t pc = 0; pc < cd.prims.size(); ++pc) {
+                    const PrimPair& qc = cd.prims[pc];
+                    const double alpha = qa.p * qc.p / (qa.p + qc.p);
+                    const double pq[3] = {qa.P[0] - qc.P[0], qa.P[1] - qc.P[1],
+                                          qa.P[2] - qc.P[2]};
+                    hermite_R(N, alpha, pq, R.data());
+                    const double pref =
+                        2.0 * std::pow(M_PI, 2.5) /
+                        (qa.p * qc.p * std::sqrt(qa.p + qc.p)) * qa.cc * qc.cc;
+                    for (int cab = 0; cab < nca * ncb; ++cab) {
+                        const auto& bra = ab.terms[pa][cab];
+                        double* out_row = blk.data() + (size_t)cab * ncc * ncd;
+                        for (int ccd = 0; ccd < ncc * ncd; ++ccd) {
+                            const auto& ket = cd.terms[pc][ccd];
+                            double acc = 0.0;
+                            for (const HTerm& hb : bra)
+                                for (const HTerm& hk : ket)
+                                    acc += hb.val * hk.signed_val *
+                                           R[ridx(0, hb.t + hk.t, hb.u + hk.u,
+                                                  hb.v + hk.v)];
+                            out_row[ccd] += pref * acc;
+                        }
+                    }
+                }
+            }
+            // scatter into all 8 symmetric positions (matches _fill_eri)
+            for (int ca = 0; ca < nca; ++ca)
+                for (int cb = 0; cb < ncb; ++cb)
+                    for (int cc = 0; cc < ncc; ++cc)
+                        for (int cdx = 0; cdx < ncd; ++cdx) {
+                            const double val =
+                                blk[((size_t)(ca * ncb + cb) * ncc + cc) * ncd +
+                                    cdx];
+                            const size_t p = ab.ia_off + ca, q = ab.ib_off + cb;
+                            const size_t r = cd.ia_off + cc, s = cd.ib_off + cdx;
+                            eri[p * n3 + q * n2 + r * nao + s] = val;
+                            eri[q * n3 + p * n2 + r * nao + s] = val;
+                            eri[p * n3 + q * n2 + s * nao + r] = val;
+                            eri[q * n3 + p * n2 + s * nao + r] = val;
+                            eri[r * n3 + s * n2 + p * nao + q] = val;
+                            eri[s * n3 + r * n2 + p * nao + q] = val;
+                            eri[r * n3 + s * n2 + q * nao + p] = val;
+                            eri[s * n3 + r * n2 + q * nao + p] = val;
+                        }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

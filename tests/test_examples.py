@@ -54,6 +54,15 @@ def test_example_runs(name, tmp_path, monkeypatch, capsys):
     assert out.strip()  # every example narrates its result
 
 
+def test_example_14_ccpvdz_small(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    mod = _load("14_ccpvdz_n2.py")
+    # full main() defaults are sized for the guide; keep the suite fast
+    mod.main(n_shots=1_500, samples_per_batch=40, max_iterations=2)
+    out = capsys.readouterr().out
+    assert "28 spherical AOs" in out and "SQD energy" in out
+
+
 def test_example_07_benchmark_small(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     mod = _load("07_benchmark_pauli_projection.py")
