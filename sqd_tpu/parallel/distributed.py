@@ -54,6 +54,7 @@ def init_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
     local_device_ids=None,
+    platform: str | None = None,
 ) -> bool:
     """Join this process into a multi-host JAX runtime (idempotent).
 
@@ -66,14 +67,24 @@ def init_distributed(
     * ``SQD_TPU_NUM_PROCESSES`` — world size;
     * ``SQD_TPU_PROCESS_ID`` — this process's rank.
 
+    ``platform="cpu"`` pins the runtime to CPU devices and selects the Gloo
+    cross-process collectives implementation — the multi-host-on-CPU path
+    used by CI (``tests/test_distributed_multiprocess.py`` runs a real
+    2-process row-sharded solve through it).  On Cloud TPU leave it unset;
+    collectives ride ICI/DCN natively.
+
     Returns ``True`` if a multi-process runtime was (or already had been)
     initialized, ``False`` for the single-process degenerate case (no
     configuration present) — in which case nothing was modified and all
     solvers keep working on local devices.
     """
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
-        _INITIALIZED = True
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            # cross-process CPU collectives need an explicit implementation
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if _INITIALIZED:
         return True
     coordinator_address = coordinator_address or os.environ.get("SQD_TPU_COORDINATOR")
     if num_processes is None and "SQD_TPU_NUM_PROCESSES" in os.environ:
@@ -87,12 +98,18 @@ def init_distributed(
     on_cloud_tpu = len(workers) > 1 or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
     if coordinator_address is None and not on_cloud_tpu:
         return False  # single process: degenerate case, nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as exc:  # pragma: no cover - user pre-initialized
+        # the runtime was already wired (e.g. the user called
+        # jax.distributed.initialize directly); treat as success
+        if "already" not in str(exc).lower():
+            raise
     _INITIALIZED = True
     return True
 

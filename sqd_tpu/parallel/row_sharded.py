@@ -245,6 +245,11 @@ def solve_sci_rowsharded(
             op["spin_const"] = jnp.asarray(
                 sz * sz + sz + n_b - float(spin_sq), jnp.float64
             )
+        if jax.process_count() > 1:
+            # device_put onto a mesh spanning non-addressable devices needs
+            # process-local (host) inputs, each process passing the same
+            # global value — round-trip the locally-committed build outputs
+            op = {k: np.asarray(v) for k, v in op.items()}
         return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
 
     op = _make_op(solver_dtype)
@@ -284,6 +289,16 @@ def solve_sci_rowsharded(
             )
         )
         vec = refine(op64, vec)
+    if jax.process_count() > 1:
+        # multi-host: the row-sharded vector spans non-addressable devices;
+        # all-gather it to a replicated layout (one compiled collective) so
+        # every process holds the full copy for the host-side epilogue.  The
+        # epilogue (f64 energy, RDMs) then runs redundantly-but-identically
+        # per process on local arrays — SPMD discipline, no cross-host jits.
+        vec = jax.jit(
+            lambda v: v, out_shardings=NamedSharding(mesh, P())
+        )(vec)
+    vec_host = np.asarray(vec)
     # bare-H energy on the full vector (chunk-accumulated; ham64 padding rows
     # are exactly zero in vec, so the padded evaluation is the true energy)
     bare64 = ham64
@@ -291,9 +306,9 @@ def solve_sci_rowsharded(
         import dataclasses
 
         bare64 = dataclasses.replace(ham64, spin_shift=0.0, spin_target=0.0)
-    energy = float(expectation_value(bare64, jnp.asarray(vec)))
+    energy = float(expectation_value(bare64, jnp.asarray(vec_host)))
 
-    amplitudes = np.asarray(vec).reshape(m_pad, n_pad)[:m, :n]
+    amplitudes = vec_host.reshape(m_pad, n_pad)[:m, :n]
     nrm = np.linalg.norm(amplitudes)
     if nrm > 0:
         amplitudes = amplitudes / nrm
@@ -305,7 +320,7 @@ def solve_sci_rowsharded(
         nelec=tuple(int(x) for x in nelec),
     )
     rdms = rdm_ops.make_rdms(
-        ham64, jnp.asarray(vec, jnp.float64).reshape(m_pad, n_pad), pa, pb,
+        ham64, jnp.asarray(vec_host, jnp.float64).reshape(m_pad, n_pad), pa, pb,
         with_dm2=with_rdms,
     )
     occ = (

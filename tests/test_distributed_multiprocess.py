@@ -1,0 +1,117 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""REAL multi-process execution of the distributed entry points.
+
+The reference's cluster story is an MPI-launched external solver
+(``integrate_dice_solver.ipynb``); ours is SPMD over a global mesh
+(SURVEY.md N10).  Degenerate single-process behavior is covered in
+``test_parallel.py``; this test launches TWO actual OS processes (4 virtual
+CPU devices each), wires them through :func:`sqd_tpu.parallel.init_distributed`
+(Gloo cross-process collectives), and runs a row-sharded Davidson solve whose
+psum collectives genuinely cross the process boundary — then pins both ranks'
+energies against the in-process dense oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _problem():
+    """Small synthetic PSD-ERI problem: norb=6, (3,3)e, full 400-det CAS."""
+    rng = np.random.default_rng(12)
+    norb = 6
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2 + np.diag(np.linspace(-4.0, 0.0, norb))
+    chol = rng.normal(size=(8, norb, norb)) * 0.3
+    chol = (chol + chol.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", chol, chol)
+    return norb, h1, eri
+
+
+_WORKER = """
+import json, sys
+sys.path.insert(0, REPO_DIR)
+import jax
+import numpy as np
+
+rank, port = int(sys.argv[1]), int(sys.argv[2])
+import sqd_tpu.parallel as par
+
+ok = par.init_distributed(
+    "127.0.0.1:%d" % port, num_processes=2, process_id=rank, platform="cpu"
+)
+assert ok, "init_distributed returned False with explicit coordinator"
+assert par.is_distributed(), jax.process_count()
+assert jax.process_count() == 2
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+mesh = par.global_mesh("rows")
+from tests.test_distributed_multiprocess import _problem
+from sqd_tpu.ops.dense_fci import all_hamming_strings
+from sqd_tpu.parallel import solve_sci_rowsharded
+
+norb, h1, eri = _problem()
+strs = all_hamming_strings(norb, 3)
+res = solve_sci_rowsharded(
+    (strs, strs), h1, eri, norb, (3, 3), mesh=mesh, tol=1e-7
+)
+occ_a, occ_b = res.orbital_occupancies
+print(json.dumps({
+    "rank": rank,
+    "energy": res.energy,
+    "occ_a_sum": float(np.sum(occ_a)),
+    "amp_norm": float(np.linalg.norm(res.sci_state.amplitudes)),
+}), flush=True)
+"""
+
+
+def test_two_process_rowsharded_solve(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(f"REPO_DIR = {_REPO!r}\n" + _WORKER)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(rank), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            cwd=_REPO,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # oracle: dense eigensolve of the same operator, in this process
+    from sqd_tpu.ops.dense_fci import all_hamming_strings, build_dense_hamiltonian
+
+    norb, h1, eri = _problem()
+    strs = all_hamming_strings(norb, 3)
+    e_exact = np.linalg.eigvalsh(build_dense_hamiltonian(strs, strs, h1, eri))[0]
+
+    assert {o["rank"] for o in outs} == {0, 1}
+    for o in outs:
+        assert abs(o["energy"] - e_exact) < 1e-6, (o, e_exact)
+        assert abs(o["occ_a_sum"] - 3.0) < 1e-6
+        assert abs(o["amp_norm"] - 1.0) < 1e-9
+    # SPMD: both ranks computed the identical epilogue
+    assert outs[0]["energy"] == pytest.approx(outs[1]["energy"], abs=1e-12)
