@@ -73,11 +73,27 @@ with jax.default_matmul_precision("highest"):
     t = bench(f"HIGHEST 256x256 @ 256x{N} (control)",
               lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), A256, B256)
     print(f"   -> {2*256*256*N/1e9/t/1e3:.1f} TFLOP/s", flush=True)
-    # intermediate pair counts: where does MFU fall off?
-    for kk in (512, 768, 1024):
+    # intermediate pair counts: where does MFU fall off?  1280 = 10*128 is
+    # the aligned size nearest 1296 — if it runs fast, alignment is the cliff
+    for kk in (512, 768, 1024, 1280):
         Ak = A[:kk, :kk]
         Bk = jnp.asarray(rng.normal(size=(kk, N)).astype(np.float32))
         t = bench(f"HIGHEST {kk}x{kk} @ {kk}x{N}",
                   lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), Ak, Bk)
         print(f"   -> {2*kk*kk*N/1e9/t/1e3:.1f} TFLOP/s", flush=True)
+    # disambiguate M- vs K-alignment: pad ONE axis at a time
+    Apk = jnp.pad(A, ((0, 0), (0, 112)))  # K -> 1408, M stays 1296
+    t = bench("HIGHEST K-padded only (1296x1408 @ 1408xN)",
+              lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), Apk, Bp)
+    print(f"   -> {2*1296*1408*N/1e9/t/1e3:.1f} TFLOP/s", flush=True)
+    Apm = jnp.pad(A, ((0, 112), (0, 0)))  # M -> 1408, K stays 1296
+    t = bench("HIGHEST M-padded only (1408x1296 @ 1296xN)",
+              lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32), Apm, B)
+    print(f"   -> {2*1408*1296*N/1e9/t/1e3:.1f} TFLOP/s", flush=True)
+    # contraction order control: does (K,M)^T layout change the lowering?
+    At = jnp.asarray(np.ascontiguousarray(np.asarray(A).T))
+    t = bench("HIGHEST A^T layout (dot_general k-major lhs)",
+              lambda a, b: jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                               preferred_element_type=jnp.float32), At, B)
+    print(f"   -> {gf/t/1e3:.1f} TFLOP/s", flush=True)
 print("OK", flush=True)
