@@ -62,6 +62,68 @@ def test_truncated_cas_vs_dense_oracle(n2_ccpvdz):
     assert res.energy + ecore < mf.e_tot - 1e-4
 
 
+def test_o2_open_shell_cas_vs_dense_oracle():
+    """Oxygen cc-pVDZ data + open-shell CAS (BASELINE config-4 pattern).
+
+    O2 triplet: closed-shell RHF orbitals as the CAS basis (the CASCI
+    convention), ``nelecas=(4, 2)`` in a 6-orbital window, pinned against
+    the dense-FCI oracle; exercises the O entry of the cc-pVDZ data.
+    """
+    mol = Molecule([("O", (0, 0, 0)), ("O", (1.2075, 0, 0))], basis="cc-pvdz")
+    assert mol.nao == 28
+    mf = rhf(mol)
+    assert mf.converged
+    h1, eri, ecore = active_space_integrals(mf, ncas=6, nelecas=(4, 2))
+    strs_a = all_hamming_strings(6, 4)
+    strs_b = all_hamming_strings(6, 2)
+    res = solve_sci((strs_a, strs_b), h1, eri, 6, (4, 2), tol=1e-10)
+    h_dense = build_dense_hamiltonian(strs_a, strs_b, h1, eri)
+    e_exact = np.linalg.eigvalsh(h_dense)[0]
+    assert abs(res.energy - e_exact) < 1e-8
+    occ_a, occ_b = res.orbital_occupancies
+    assert abs(occ_a.sum() - 4.0) < 1e-6 and abs(occ_b.sum() - 2.0) < 1e-6
+
+
+def test_h2o_ccpvdz_literature_pin():
+    """O + H cc-pVDZ data pinned to the published RHF energy.
+
+    RHF/cc-pVDZ for water at the standard geometry (r(OH) = 0.9572 A,
+    HOH = 104.52 deg) is -76.026799 Ha — one of the most-reproduced numbers
+    in quantum chemistry.  A transcription error in any O or H primitive
+    would miss by orders of magnitude more than the tolerance.
+    """
+    r, th = 0.9572, np.deg2rad(104.52)
+    x, z = r * np.sin(th / 2), r * np.cos(th / 2)
+    mol = Molecule([("O", (0, 0, 0)), ("H", (x, 0, z)), ("H", (-x, 0, z))], basis="cc-pvdz")
+    assert mol.nao == 24
+    e = rhf(mol).e_tot
+    assert abs(e - (-76.026799)) < 2e-5
+
+
+def test_co_ccpvdz_rhf_sanity():
+    """Carbon cc-pVDZ data: CO RHF at the published basis-set grade.
+
+    RHF/cc-pVDZ for CO near equilibrium is ~-112.749 Ha; plain 6-31G sits
+    ~82 mHa above it.  (This window caught a real transcription error in the
+    carbon s exponents: 7.495/2.797/0.5215 mistyped as 6.459/2.343/0.514
+    cost 73 mHa here and 66 mHa on CH4.)
+    """
+    atoms = [("C", (0, 0, 0)), ("O", (1.1283, 0, 0))]
+    e_dz = rhf(Molecule(atoms, basis="cc-pvdz")).e_tot
+    e_631g = rhf(Molecule(atoms, basis="6-31g")).e_tot
+    assert e_dz < e_631g - 0.05
+    assert abs(e_dz - (-112.74928)) < 1e-3
+
+
+def test_ch4_ccpvdz_literature_pin():
+    """CH4 RHF/cc-pVDZ at r(CH) = 1.086 A: published grade ~-40.1986 Ha."""
+    rc = 1.086 / np.sqrt(3.0)
+    atoms = [("C", (0, 0, 0)), ("H", (rc, rc, rc)), ("H", (rc, -rc, -rc)),
+             ("H", (-rc, rc, -rc)), ("H", (-rc, -rc, rc))]
+    e = rhf(Molecule(atoms, basis="cc-pvdz")).e_tot
+    assert abs(e - (-40.19865)) < 5e-4
+
+
 def _strings_to_bool(strings: np.ndarray, norb: int) -> np.ndarray:
     shifts = np.arange(norb - 1, -1, -1)
     return ((np.asarray(strings, dtype=np.int64)[:, None] >> shifts) & 1).astype(bool)
