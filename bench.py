@@ -50,6 +50,32 @@ REF_PAULI_40Q_SECONDS = 4.17  # benchmark_pauli_projection.ipynb cell 7
 REF_PAULI_60Q_SECONDS = 5.16  # benchmark_pauli_projection.ipynb cell 11
 _T_START = time.perf_counter()
 
+# Progressive result state shared with the watchdog thread: the tunnel daemon
+# can WEDGE mid-run (client blocks forever in a futex wait — see CLAUDE.md);
+# a wedged bench would hit the driver's process timeout and leave NO artifact.
+# Sections record their results here as they complete; if the budget expires,
+# a daemon thread (which keeps running even when the main thread is stuck in
+# a blocking C call) prints whatever is done as one valid JSON line and exits.
+_WD = {"stage": "startup", "headline": None, "detail": {}}
+
+
+def _watchdog_fire(budget: float) -> None:  # pragma: no cover - wedge path
+    detail = dict(_WD["detail"])
+    detail["watchdog"] = (
+        f"budget of {budget:.0f}s expired during stage {_WD['stage']!r}; "
+        "partial results only (likely a wedged tunnel daemon)"
+    )
+    head = _WD["headline"] or {"value": None, "vs_baseline": None}
+    out = {
+        "metric": "davidson_solve_1e6_dets_wallclock",
+        "value": head["value"],
+        "unit": "seconds",
+        "vs_baseline": head["vs_baseline"],
+        "detail": detail,
+    }
+    print(json.dumps(out), flush=True)
+    os._exit(0)
+
 
 def _host_f64_energy(ham, vec_flat: np.ndarray) -> float:
     """True f64 Rayleigh quotient <c|H|c>/<c|c> on the HOST (NumPy/BLAS).
@@ -139,6 +165,15 @@ def main():
         )
         raise SystemExit(3)
 
+    import threading
+
+    # generous: a fully cold run (session establishment up to ~20 min +
+    # multi-minute tunnel compiles) must never trip it; only a true wedge does
+    wd_budget = float(os.environ.get("SQD_BENCH_WATCHDOG_SECONDS", "5400"))
+    wd_timer = threading.Timer(wd_budget, _watchdog_fire, args=(wd_budget,))
+    wd_timer.daemon = True
+    wd_timer.start()
+
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     # persist EVERY compile (incl. sub-second convert/sum ops): at ~0.2-0.3 s
     # apiece over the tunnel they otherwise recompile in every process
@@ -172,6 +207,7 @@ def main():
     # (tens of seconds, varies by session) — fence it out so table_build
     # measures the build, not the tunnel (BENCH_r02 conflated them: 28 s
     # reported vs <1 s of actual host compute).
+    _WD["stage"] = "tunnel_session_establishment"
     t_sess0 = time.perf_counter()
     _ = float(jnp.sum(jnp.arange(8.0)))
     t_session = time.perf_counter() - t_sess0
@@ -187,6 +223,7 @@ def main():
         native_mod.samespin_tables(pb, np.asarray(h1), np.asarray(eri), norb, nelec[1])
     t_host_tables = time.perf_counter() - t_host0
 
+    _WD["stage"] = "table_build_1e6"
     t_build0 = time.perf_counter()
     ham64 = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, dtype=jnp.float64)
     ham32 = ham64.astype(jnp.float32)
@@ -215,11 +252,17 @@ def main():
         return float(energy), int(iters), float(rnorm), bool(converged), vec
 
     # warm-up (compile)
+    _WD["stage"] = "headline_solve_compile"
     energy, iters, rnorm, converged, vec = solve()
+    _WD["stage"] = "headline_solve_timed"
     t0 = time.perf_counter()
     energy, iters, rnorm, converged, vec = solve()
     elapsed = time.perf_counter() - t0
     assert converged, f"Davidson did not converge (residual {rnorm})"
+    _WD["headline"] = {
+        "value": round(elapsed, 4),
+        "vs_baseline": round(CPU_BASELINE_SECONDS / elapsed, 2),
+    }
 
     # --- ACCURACY GATE: host-f64 oracle on the same vector ------------------
     # BASELINE demands <1e-8 Ha agreement with an exact f64 reference; TPU
@@ -230,6 +273,15 @@ def main():
     e_host = _host_f64_energy(ham64, np.asarray(vec, np.float64))
     energy_abs_err = abs(energy - e_host)
     assert energy_abs_err < 1e-7, (energy, e_host)
+    _WD["detail"].update(
+        problem="N2/6-31G CAS(16o,(5,5)e), 1000x1000 excitation strings",
+        dim=m * n,
+        energy_total=energy + ecore,
+        energy_abs_error_vs_host_f64=energy_abs_err,
+        davidson_iterations=iters,
+        tunnel_session_establishment_seconds=round(t_session, 3),
+        table_build_seconds=round(t_build, 3),
+    )
 
     # --- stretch: the FULL N2/6-31G CASCI space on ONE chip -----------------
     # All C(16,5) = 4368 strings per spin -> 19,075,584 determinants; the
@@ -239,6 +291,7 @@ def main():
     # 10-30 core node, README.md:78) AND an external-truth accuracy gate at
     # exactly the scale where TPU f64-accumulation pitfalls live.
     casci_detail = None
+    _WD["stage"] = "full_casci_1p9e7"
     try:
         if _SMALL:
             casci_detail = {"skipped": "SQD_BENCH_SMALL"}
@@ -289,6 +342,7 @@ def main():
             casci_detail = {"skipped": "time budget"}
     except Exception as exc:  # pragma: no cover - defensive
         casci_detail = {"error": str(exc)[:200]}
+    _WD["detail"]["full_casci_1p9e7_dets_single_chip"] = casci_detail
 
     # --- Pauli projection (the reference's published wall-clock headline) ---
     # Reference: one Z^n term over d = 5e7 sorted unique bitstrings through
@@ -300,6 +354,7 @@ def main():
     # to force completion.  A non-diagonal term exercises the on-device
     # involution-pairing membership at the same scale.
     pauli_detail = None
+    _WD["stage"] = "pauli_projection"
     try:
         from sqd_tpu.ops.pauli_proj import pauli_term_table
         from sqd_tpu.primitives import Pauli
@@ -385,6 +440,7 @@ def main():
         import gc
 
         gc.collect()
+    _WD["detail"]["pauli_projection_device_resident"] = pauli_detail
 
     # --- grouped multi-term projection at large d (88 terms, d = 1e6) ------
     # The reference projects multi-term operators with a per-term Python loop
@@ -393,6 +449,7 @@ def main():
     # per UNIQUE x-mask (22 for the L=22 ring) and folds all 88 amplitudes
     # into per-group weights — this section records both paths' wall-clock.
     multiterm_detail = None
+    _WD["stage"] = "pauli_multiterm"
     try:
         import jax.numpy as jnp
 
@@ -452,12 +509,14 @@ def main():
         del proj_m, sp_m, packed_m, v_m
     except Exception as exc:  # pragma: no cover - defensive
         multiterm_detail = {"error": str(exc)[:200]}
+    _WD["detail"]["pauli_multiterm_88term_1e6"] = multiterm_detail
 
     # --- 66-term Heisenberg projection (reference qubit-path scale demo) ----
     # Reference demonstrates L=22, 66 Pauli terms, d = 49,718 with no timing
     # (docs/guides/project_pauli_operators_onto_hilbert_subspaces.ipynb);
     # report the end-to-end matrix-free operator build + one matvec.
     heis_detail = None
+    _WD["stage"] = "heisenberg_projection"
     try:
         import jax.numpy as jnp
 
@@ -486,6 +545,7 @@ def main():
         }
     except Exception as exc:  # pragma: no cover - defensive
         heis_detail = {"error": str(exc)[:200]}
+    _WD["detail"]["heisenberg_66term_projection"] = heis_detail
 
     # --- BASELINE config 5: (54e, 36o) 1.0e7-det high-filling solve --------
     # [4Fe-4S]-class ENVELOPE (synthetic integrals — no Fe basis data in this
@@ -493,6 +553,7 @@ def main():
     # electrons/spin, 1e7 determinants) through the zero-gather dense-DF
     # operator.  Records the full wall-clock the VERDICT r3 found missing.
     fe4s4_detail = None
+    _WD["stage"] = "fe4s4_class_1e7"
     try:
         if _SMALL:
             m7 = n7 = 96
@@ -558,7 +619,9 @@ def main():
         del ham64_7f, ham32_7f, hd7f, op7, res7
     except Exception as exc:  # pragma: no cover - defensive
         fe4s4_detail = {"error": str(exc)[:200] if not isinstance(exc, RuntimeError) else "skipped: " + str(exc)}
+    _WD["detail"]["fe4s4_class_1e7_dets"] = fe4s4_detail
 
+    wd_timer.cancel()
     out = {
         "metric": "davidson_solve_1e6_dets_wallclock",
         "value": round(elapsed, 4),
