@@ -284,6 +284,11 @@ def solve_sci_gridsharded(
             op["spin_const"] = jnp.asarray(
                 sz * sz + sz + n_b - float(spin_sq), jnp.float64
             )
+        if jax.process_count() > 1:
+            # device_put onto a mesh spanning non-addressable devices needs
+            # process-local (host) inputs, each process passing the same
+            # global value — round-trip the locally-committed build outputs
+            op = {k: np.asarray(v) for k, v in op.items()}
         return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
 
     op = _make_op(solver_dtype)
@@ -325,10 +330,17 @@ def solve_sci_gridsharded(
         import dataclasses
 
         bare64 = dataclasses.replace(ham64, spin_shift=0.0, spin_target=0.0)
-    vec_full = jnp.asarray(np.asarray(vec))
+    if jax.process_count() > 1:
+        # multi-host: the grid-sharded vector spans non-addressable devices;
+        # all-gather it to a replicated layout (one compiled collective) so
+        # every process holds the full copy for the host-side epilogue, which
+        # then runs redundantly-but-identically per process on local arrays.
+        vec = jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(vec)
+    vec_host = np.asarray(vec)
+    vec_full = jnp.asarray(vec_host)
     energy = float(expectation_value(bare64, vec_full.reshape(-1)))
 
-    amplitudes = np.asarray(vec)[:m, :n]
+    amplitudes = vec_host[:m, :n]
     nrm = np.linalg.norm(amplitudes)
     if nrm > 0:
         amplitudes = amplitudes / nrm

@@ -25,7 +25,7 @@ import pytest
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _problem():
+def _problem(return_chol: bool = False):
     """Small synthetic PSD-ERI problem: norb=6, (3,3)e, full 400-det CAS."""
     rng = np.random.default_rng(12)
     norb = 6
@@ -34,6 +34,8 @@ def _problem():
     chol = rng.normal(size=(8, norb, norb)) * 0.3
     chol = (chol + chol.transpose(0, 2, 1)) / 2
     eri = np.einsum("xpq,xrs->pqrs", chol, chol)
+    if return_chol:
+        return norb, h1, eri, chol
     return norb, h1, eri
 
 
@@ -74,12 +76,53 @@ print(json.dumps({
 """
 
 
-def test_two_process_rowsharded_solve(tmp_path):
+_WORKER_GRID_DF = """
+import json, sys
+sys.path.insert(0, REPO_DIR)
+import jax
+import numpy as np
+
+rank, port = int(sys.argv[1]), int(sys.argv[2])
+import sqd_tpu.parallel as par
+
+ok = par.init_distributed(
+    "127.0.0.1:%d" % port, num_processes=2, process_id=rank, platform="cpu"
+)
+assert ok and jax.process_count() == 2 and jax.device_count() == 8
+
+from tests.test_distributed_multiprocess import _problem
+from sqd_tpu.ops.dense_fci import all_hamming_strings
+from sqd_tpu.parallel import solve_sci_dfsharded, solve_sci_gridsharded
+
+norb, h1, eri, chol = _problem(return_chol=True)
+strs = all_hamming_strings(norb, 3)
+
+# 2-D (alpha x beta) grid over both processes: the row all-gather, col
+# all-gather and psum_scatter all cross the process boundary
+res_grid = solve_sci_gridsharded((strs, strs), h1, eri, norb, (3, 3), tol=1e-7)
+
+# factor-axis sharding: the x-reduction psum crosses the process boundary
+res_df = solve_sci_dfsharded(
+    (strs, strs), h1, eri, norb, (3, 3),
+    eri_factor=chol.reshape(chol.shape[0], norb * norb), tol=1e-8,
+)
+
+print(json.dumps({
+    "rank": rank,
+    "energy_grid": res_grid.energy,
+    "energy_df": res_df.energy,
+    "occ_grid_sum": float(np.sum(res_grid.orbital_occupancies[0])),
+    "occ_df_sum": float(np.sum(res_df.orbital_occupancies[0])),
+}), flush=True)
+"""
+
+
+def _launch_two(tmp_path, worker_src):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     script = tmp_path / "worker.py"
-    script.write_text(f"REPO_DIR = {_REPO!r}\n" + _WORKER)
+    script.write_text(f"REPO_DIR = {_REPO!r}\n" + worker_src)
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
@@ -100,6 +143,32 @@ def test_two_process_rowsharded_solve(tmp_path):
         out, err = p.communicate(timeout=540)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+def test_two_process_grid_and_df_sharded(tmp_path):
+    """Grid- (2-D alpha x beta) and DF-factor-axis solves across 2 processes."""
+    outs = _launch_two(tmp_path, _WORKER_GRID_DF)
+
+    from sqd_tpu.ops.dense_fci import all_hamming_strings, build_dense_hamiltonian
+
+    norb, h1, eri = _problem()
+    strs = all_hamming_strings(norb, 3)
+    e_exact = np.linalg.eigvalsh(build_dense_hamiltonian(strs, strs, h1, eri))[0]
+
+    assert {o["rank"] for o in outs} == {0, 1}
+    for o in outs:
+        assert abs(o["energy_grid"] - e_exact) < 1e-6, (o, e_exact)
+        assert abs(o["energy_df"] - e_exact) < 1e-6, (o, e_exact)
+        assert abs(o["occ_grid_sum"] - 3.0) < 1e-6
+        assert abs(o["occ_df_sum"] - 3.0) < 1e-6
+    # SPMD: both ranks computed the identical epilogue
+    for key in ("energy_grid", "energy_df"):
+        assert outs[0][key] == pytest.approx(outs[1][key], abs=1e-12)
+
+
+def test_two_process_rowsharded_solve(tmp_path):
+    outs = _launch_two(tmp_path, _WORKER)
 
     # oracle: dense eigensolve of the same operator, in this process
     from sqd_tpu.ops.dense_fci import all_hamming_strings, build_dense_hamiltonian
