@@ -482,7 +482,10 @@ def main():
         t_per_term = time.perf_counter() - t0
 
         def grouped_build():
-            proj = build_projected_operator(packed_m, op_m.paulis, op_m.coeffs)
+            # sp_m: same device-resident input as per_term_build (jnp.asarray
+            # is a no-op on a device array) — keeps the comparison symmetric;
+            # a host input would re-pay the ~47 MB/s tunnel transfer per call
+            proj = build_projected_operator(sp_m, op_m.paulis, op_m.coeffs)
             _ = float(jnp.sum(proj.weight_re[:, :8]))
             return proj
 

@@ -53,7 +53,8 @@ def main(nq=22, d_target=1_000_000):
     t_old = time.perf_counter() - t0
 
     def grouped():
-        proj = build_projected_operator(packed, op.paulis, op.coeffs)
+        # sp (device-resident) keeps the comparison symmetric with per_term
+        proj = build_projected_operator(sp, op.paulis, op.coeffs)
         _ = float(jnp.sum(proj.weight_re[:, :8]))
         return proj
 

@@ -37,6 +37,7 @@ from ..ops import bitpack, rdm as rdm_ops
 from ..ops.dense_df import DenseDFOperator, _dense_samespin, _w_stack, dense_df_matvec_flat
 from ..ops.davidson import davidson_ground_state, davidson_initial_guess
 from ..ops.hamiltonian import build_sci_hamiltonian, expectation_value, sci_matvec_flat
+from .distributed import host_local, replicate_to_host
 
 __all__ = ["solve_sci_dfsharded"]
 
@@ -113,14 +114,6 @@ def solve_sci_dfsharded(
     x_tot = -(-ell.shape[0] // ndev) * ndev
     if x_tot != ell.shape[0]:
         ell = np.pad(ell, ((0, x_tot - ell.shape[0]), (0, 0)))
-    multi = jax.process_count() > 1
-
-    def _host(v):
-        # device_put onto a mesh spanning non-addressable devices needs
-        # process-local (host) inputs, each process passing the same global
-        # value — round-trip the locally-committed build outputs
-        return np.asarray(v) if multi else v
-
     ell_sh = jax.device_put(
         ell.astype(np.dtype(solver_dtype)), NamedSharding(mesh, P(_AXIS, None))
     )
@@ -134,25 +127,25 @@ def solve_sci_dfsharded(
         out_shardings=x_shard,
     )
     wa = build(
-        jax.device_put(_host(ham64.src_a), repl),
-        jax.device_put(_host(ham64.sign_a), repl),
+        jax.device_put(host_local(ham64.src_a), repl),
+        jax.device_put(host_local(ham64.sign_a), repl),
         ell_sh,
     )
     wb = build(
-        jax.device_put(_host(ham64.src_b), repl),
-        jax.device_put(_host(ham64.sign_b), repl),
+        jax.device_put(host_local(ham64.src_b), repl),
+        jax.device_put(host_local(ham64.sign_b), repl),
         ell_sh,
     )
     op = DenseDFOperator(
         wa=wa,
         wb=wb,
         haa=jax.device_put(
-            _host(_dense_samespin(ham64.nbr_idx_a, ham64.nbr_val_a, solver_dtype)), repl
+            host_local(_dense_samespin(ham64.nbr_idx_a, ham64.nbr_val_a, solver_dtype)), repl
         ),
         hbb=jax.device_put(
-            _host(_dense_samespin(ham64.nbr_idx_b, ham64.nbr_val_b, solver_dtype)), repl
+            host_local(_dense_samespin(ham64.nbr_idx_b, ham64.nbr_val_b, solver_dtype)), repl
         ),
-        hdiag=jax.device_put(_host(ham64.hdiag.astype(solver_dtype)), repl),
+        hdiag=jax.device_put(host_local(ham64.hdiag.astype(solver_dtype)), repl),
         x_chunk=0,  # sharded x axis: unchunked einsum, GSPMD inserts the psum
     )
 
@@ -166,13 +159,12 @@ def solve_sci_dfsharded(
         tol=tol_eff, max_subspace=max_subspace, max_iterations=max_cycle,
     )
     vec_flat = result.vector.astype(jnp.float64)
-    if multi:
-        # multi-host: force the Krylov output to a replicated layout, then
-        # round-trip to a process-local array so the f64 epilogue (exact
-        # gather refine/energy/RDMs over the locally-built ham64) runs
-        # redundantly-but-identically per process on local buffers.
-        vec_flat = jax.jit(lambda v: v, out_shardings=repl)(vec_flat)
-        vec_flat = jnp.asarray(np.asarray(vec_flat))
+    if jax.process_count() > 1:
+        # multi-host: replicate + localize the Krylov output so the f64
+        # epilogue (exact gather refine/energy/RDMs over the locally-built
+        # ham64) runs redundantly-but-identically per process on local
+        # buffers; single-process keeps the device array.
+        vec_flat = jnp.asarray(replicate_to_host(vec_flat, mesh))
     if refine_iterations > 0 and jnp.dtype(solver_dtype) != jnp.float64:
         result64 = davidson_ground_state(
             sci_matvec_flat, ham64, ham64.hdiag.reshape(-1), vec_flat,

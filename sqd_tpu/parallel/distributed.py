@@ -84,7 +84,12 @@ def init_distributed(
         if platform == "cpu":
             # cross-process CPU collectives need an explicit implementation
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    if _INITIALIZED:
+    if _INITIALIZED or jax.distributed.is_initialized():
+        # idempotent: our own earlier call, or the user wired the runtime
+        # directly via jax.distributed.initialize (is_initialized inspects
+        # the distributed client only — it does NOT force backend init, which
+        # must stay untouched until after a potential initialize below)
+        _INITIALIZED = True
         return True
     coordinator_address = coordinator_address or os.environ.get("SQD_TPU_COORDINATOR")
     if num_processes is None and "SQD_TPU_NUM_PROCESSES" in os.environ:
@@ -105,13 +110,45 @@ def init_distributed(
             process_id=process_id,
             local_device_ids=local_device_ids,
         )
-    except RuntimeError as exc:  # pragma: no cover - user pre-initialized
-        # the runtime was already wired (e.g. the user called
-        # jax.distributed.initialize directly); treat as success
-        if "already" not in str(exc).lower():
+    except RuntimeError as exc:  # pragma: no cover - raced pre-initialization
+        # the runtime was already wired between our is_initialized check and
+        # this call; treat as success.  JAX 0.9 raises "distributed.initialize
+        # should only be called once."; older versions said "already".
+        msg = str(exc).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
     _INITIALIZED = True
     return True
+
+
+def host_local(value):
+    """Host (numpy) copy of ``value`` when multi-process, else as-is.
+
+    ``jax.device_put`` onto a mesh spanning non-addressable devices requires
+    process-local (host) inputs, every process passing the same global value
+    — locally-committed device arrays must round-trip through the host first.
+    Single-process, the value passes through untouched (device_put reshards
+    device arrays directly, no copy).
+    """
+    return np.asarray(value) if jax.process_count() > 1 else value
+
+
+def replicate_to_host(value, mesh: Mesh) -> np.ndarray:
+    """Host copy of a (possibly sharded) global array, on every process.
+
+    Multi-host: first force a replicated layout (one compiled all-gather) so
+    each process holds the full value — reading back an array that spans
+    non-addressable devices raises otherwise.  The caller's host-side
+    epilogue then runs redundantly-but-identically per process (SPMD
+    discipline, no cross-host jits).  Single-process: plain ``np.asarray``.
+    """
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        value = jax.jit(
+            lambda v: v, out_shardings=NamedSharding(mesh, PartitionSpec())
+        )(value)
+    return np.asarray(value)
 
 
 def global_mesh(*axis_names: str, axis_sizes: tuple[int, ...] | None = None) -> Mesh:

@@ -45,6 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import bitpack, rdm as rdm_ops
 from ..ops.davidson import davidson_ground_state
 from ..ops.hamiltonian import build_sci_hamiltonian, expectation_value
+from .distributed import host_local, replicate_to_host
 from .row_sharded import _sharded_initial_guess
 
 __all__ = ["solve_sci_gridsharded", "default_grid_mesh"]
@@ -284,12 +285,11 @@ def solve_sci_gridsharded(
             op["spin_const"] = jnp.asarray(
                 sz * sz + sz + n_b - float(spin_sq), jnp.float64
             )
-        if jax.process_count() > 1:
-            # device_put onto a mesh spanning non-addressable devices needs
-            # process-local (host) inputs, each process passing the same
-            # global value — round-trip the locally-committed build outputs
-            op = {k: np.asarray(v) for k, v in op.items()}
-        return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
+        # multi-process: host round-trip before the global-mesh device_put
+        return {
+            k: jax.device_put(host_local(v), NamedSharding(mesh, specs[k]))
+            for k, v in op.items()
+        }
 
     op = _make_op(solver_dtype)
     op_specs = {k: specs[k] for k in op}
@@ -330,13 +330,10 @@ def solve_sci_gridsharded(
         import dataclasses
 
         bare64 = dataclasses.replace(ham64, spin_shift=0.0, spin_target=0.0)
-    if jax.process_count() > 1:
-        # multi-host: the grid-sharded vector spans non-addressable devices;
-        # all-gather it to a replicated layout (one compiled collective) so
-        # every process holds the full copy for the host-side epilogue, which
-        # then runs redundantly-but-identically per process on local arrays.
-        vec = jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(vec)
-    vec_host = np.asarray(vec)
+    # multi-host: replicate + localize (every process gets the full copy for
+    # the redundant-but-identical host-side epilogue); single-process: one
+    # host materialization, as before
+    vec_host = replicate_to_host(vec, mesh)
     vec_full = jnp.asarray(vec_host)
     energy = float(expectation_value(bare64, vec_full.reshape(-1)))
 

@@ -38,6 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops import bitpack, rdm as rdm_ops
 from ..ops.davidson import davidson_ground_state, davidson_initial_guess
 from ..ops.hamiltonian import build_sci_hamiltonian, expectation_value
+from .distributed import host_local, replicate_to_host
 from .mesh import default_mesh
 
 __all__ = ["solve_sci_rowsharded", "solve_sci_batch_rowsharded"]
@@ -245,12 +246,11 @@ def solve_sci_rowsharded(
             op["spin_const"] = jnp.asarray(
                 sz * sz + sz + n_b - float(spin_sq), jnp.float64
             )
-        if jax.process_count() > 1:
-            # device_put onto a mesh spanning non-addressable devices needs
-            # process-local (host) inputs, each process passing the same
-            # global value — round-trip the locally-committed build outputs
-            op = {k: np.asarray(v) for k, v in op.items()}
-        return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in op.items()}
+        # multi-process: host round-trip before the global-mesh device_put
+        return {
+            k: jax.device_put(host_local(v), NamedSharding(mesh, specs[k]))
+            for k, v in op.items()
+        }
 
     op = _make_op(solver_dtype)
     op_specs = {k: specs[k] for k in op}
@@ -290,15 +290,11 @@ def solve_sci_rowsharded(
         )
         vec = refine(op64, vec)
     if jax.process_count() > 1:
-        # multi-host: the row-sharded vector spans non-addressable devices;
-        # all-gather it to a replicated layout (one compiled collective) so
-        # every process holds the full copy for the host-side epilogue.  The
-        # epilogue (f64 energy, RDMs) then runs redundantly-but-identically
-        # per process on local arrays — SPMD discipline, no cross-host jits.
-        vec = jax.jit(
-            lambda v: v, out_shardings=NamedSharding(mesh, P())
-        )(vec)
-    vec_host = np.asarray(vec)
+        # multi-host: the row-sharded vector spans non-addressable devices —
+        # replicate + localize so the epilogue (f64 energy, RDMs) runs
+        # redundantly-but-identically per process on local arrays.  Single
+        # process keeps the device-resident sharded vector (no round-trip).
+        vec = jnp.asarray(replicate_to_host(vec, mesh))
     # bare-H energy on the full vector (chunk-accumulated; ham64 padding rows
     # are exactly zero in vec, so the padded evaluation is the true energy)
     bare64 = ham64
@@ -306,9 +302,9 @@ def solve_sci_rowsharded(
         import dataclasses
 
         bare64 = dataclasses.replace(ham64, spin_shift=0.0, spin_target=0.0)
-    energy = float(expectation_value(bare64, jnp.asarray(vec_host)))
+    energy = float(expectation_value(bare64, jnp.asarray(vec)))
 
-    amplitudes = vec_host.reshape(m_pad, n_pad)[:m, :n]
+    amplitudes = np.asarray(vec).reshape(m_pad, n_pad)[:m, :n]
     nrm = np.linalg.norm(amplitudes)
     if nrm > 0:
         amplitudes = amplitudes / nrm
@@ -320,7 +316,7 @@ def solve_sci_rowsharded(
         nelec=tuple(int(x) for x in nelec),
     )
     rdms = rdm_ops.make_rdms(
-        ham64, jnp.asarray(vec_host, jnp.float64).reshape(m_pad, n_pad), pa, pb,
+        ham64, jnp.asarray(vec, jnp.float64).reshape(m_pad, n_pad), pa, pb,
         with_dm2=with_rdms,
     )
     occ = (

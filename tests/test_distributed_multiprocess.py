@@ -138,12 +138,20 @@ def _launch_two(tmp_path, worker_src):
         )
         for rank in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=540)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
-    return outs
+    try:
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=540)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        return outs
+    finally:
+        # one rank failing leaves the other blocked in a Gloo collective —
+        # never leak it (stray workers wedge later runs on this machine)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
 
 
 def test_two_process_grid_and_df_sharded(tmp_path):
