@@ -9,6 +9,7 @@ subspace.
 """
 import os as _os, sys as _sys; _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
+import faulthandler; faulthandler.dump_traceback_later(600, repeat=True)
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")

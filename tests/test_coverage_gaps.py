@@ -1,0 +1,257 @@
+# (C) 2026. Licensed under the Apache License, Version 2.0.
+"""Targeted tests for branches the local line-coverage audit found unexercised.
+
+``probes/line_coverage.py`` (sys.monitoring-based, no coverage package in the
+image) measured the full suite at 95.7% over ``sqd_tpu/``; the gaps below are
+the REACHABLE remainder — error surfaces, alternate kernels kept as oracles,
+the k>1 complex qubit path, packed >=63-orbital persistence, and the
+f32+refine row-sharded configuration.  (Multi-process-only branches are
+exercised by the subprocess workers in ``test_distributed_multiprocess.py``,
+which an in-process monitor cannot see.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sqd_tpu import qubit
+from sqd_tpu.primitives import BitArray, Pauli, SparsePauliOp
+
+
+# ---------------------------------------------------------------- qubit k>1 complex
+
+
+def test_solve_qubit_device_k2_genuinely_complex():
+    """k=2 on an odd-Y operator: the embedded block path must unembed,
+    orthonormalize and Rayleigh-Ritz back to 2 DISTINCT complex pairs
+    (qubit._solve_qubit_device_k complex branch)."""
+    rng = np.random.default_rng(9)
+    n = 4
+    op = SparsePauliOp.from_list([("XYII", 0.7), ("IIZY", 0.5), ("ZZZZ", 1.0)])
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (12, n)).astype(bool))
+    w_ref, _ = qubit.solve_qubit(mat, op, k=2, which="SA", v0=np.ones(len(mat)))
+    w_dev, v_dev, proj = qubit.solve_qubit_device(mat, op, k=2, tol=1e-10)
+    assert proj.is_complex
+    np.testing.assert_allclose(np.sort(w_dev), np.sort(w_ref), atol=1e-7)
+    g = v_dev.conj().T @ v_dev
+    np.testing.assert_allclose(g, np.eye(2), atol=1e-7)
+
+
+def test_solve_qubit_device_explicit_dtype():
+    """Backward-compat dtype= argument selects the working dtype directly."""
+    rng = np.random.default_rng(10)
+    n = 6
+    from sqd_tpu.models.heisenberg import heisenberg_ring
+
+    op = heisenberg_ring(n, h_z=0.1)
+    mat = qubit.sort_and_remove_duplicates(rng.integers(0, 2, (30, n)).astype(bool))
+    e64, _, _ = qubit.solve_qubit_device(mat, op)
+    e32, _, _ = qubit.solve_qubit_device(mat, op, dtype=jnp.float32)
+    assert abs(e32 - e64) < 1e-4
+
+
+# ------------------------------------------------------- membership kernel oracles
+
+
+def test_connected_table_rank_matches_binary_search():
+    """The sort-rank membership variant == binary search, incl. absences."""
+    from sqd_tpu.ops import bitpack, pauli_proj
+
+    rng = np.random.default_rng(11)
+    nq = 40
+    bits = rng.integers(0, 2, size=(200, nq)).astype(bool)
+    x = np.zeros(nq, bool)
+    x[[3, 17, 33]] = True  # crosses the word boundary
+    z = np.zeros(nq, bool)
+    z[[0, 33]] = True
+    # close half the set under the flip so both hits and misses occur
+    bits[:100] = bits[100:] ^ x[None, :]
+    packed = bitpack.unique_packed(bitpack.pack_bool_matrix(bits))
+    sp = jnp.asarray(packed)
+    zw, xw = pauli_proj.pauli_masks_to_packed(z, x)
+    w = packed.shape[1]
+    col_bs, sign_bs = pauli_proj.connected_table(sp, jnp.asarray(zw[:w]), jnp.asarray(xw[:w]))
+    col_rk, sign_rk = pauli_proj.connected_table_rank(sp, jnp.asarray(zw[:w]), jnp.asarray(xw[:w]))
+    np.testing.assert_array_equal(np.asarray(col_bs), np.asarray(col_rk))
+    np.testing.assert_array_equal(np.asarray(sign_bs), np.asarray(sign_rk))
+
+
+# --------------------------------------------------------------- error surfaces
+
+
+def test_generate_bit_array_uniform_validation():
+    from sqd_tpu.counts import generate_bit_array_uniform
+
+    with pytest.raises(ValueError, match="number of samples"):
+        generate_bit_array_uniform(0, 4)
+    with pytest.raises(ValueError, match="number of bits"):
+        generate_bit_array_uniform(4, 0)
+
+
+def test_generate_counts_bipartite_hamming_validation():
+    from sqd_tpu.counts import generate_counts_bipartite_hamming
+
+    with pytest.raises(ValueError, match="even integer"):
+        generate_counts_bipartite_hamming(5, 7, hamming_right=1, hamming_left=1)
+    with pytest.raises(ValueError, match="number of samples"):
+        generate_counts_bipartite_hamming(0, 6, hamming_right=1, hamming_left=1)
+    with pytest.raises(ValueError, match="non-negative"):
+        generate_counts_bipartite_hamming(5, 6, hamming_right=-1, hamming_left=1)
+    with pytest.raises(ValueError, match="larger sample than population"):
+        generate_counts_bipartite_hamming(5, 6, hamming_right=4, hamming_left=1)
+
+
+def test_subsampling_error_and_empty_surfaces():
+    from sqd_tpu.subsampling import postselect_and_subsample, subsample
+
+    mat = np.array([[True, False], [False, True]])
+    probs = np.array([0.5, 0.5])
+    with pytest.raises(ValueError, match="must match"):
+        postselect_and_subsample(
+            mat, np.array([1.0]), hamming_right=1, hamming_left=1,
+            samples_per_batch=1, num_batches=1,
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        postselect_and_subsample(
+            mat, probs, hamming_right=-1, hamming_left=1,
+            samples_per_batch=1, num_batches=1,
+        )
+    # nothing survives postselection (no row has weight 1 on BOTH halves)
+    out = postselect_and_subsample(
+        mat, probs, hamming_right=1, hamming_left=1,
+        samples_per_batch=1, num_batches=3,
+    )
+    assert len(out) == 3 and all(len(b) == 0 for b in out)
+    # empty input -> list of empty arrays
+    out = subsample(np.zeros((0, 4), bool), np.zeros(0), samples_per_batch=2, num_batches=2)
+    assert len(out) == 2 and all(len(b) == 0 for b in out)
+
+
+def test_global_mesh_validation_and_two_axis_default():
+    from sqd_tpu.parallel import global_mesh
+
+    mesh = global_mesh("rows", "cols")  # single process: lead axis = 1
+    assert mesh.devices.shape == (1, 8)
+    with pytest.raises(ValueError, match="axis_sizes"):
+        global_mesh("a", "b", "c")
+    with pytest.raises(ValueError, match="does not cover"):
+        global_mesh("a", "b", axis_sizes=(3, 5))
+
+
+# -------------------------------------------------------------- primitives
+
+
+def test_bit_array_from_counts_and_validation():
+    ba = BitArray.from_counts({"101": 2, "010": 1})
+    assert ba.num_bits == 3 and ba.num_shots == 3
+    from sqd_tpu.counts import bit_array_to_arrays
+
+    mat, probs = bit_array_to_arrays(ba)
+    assert mat.shape == (2, 3)
+    np.testing.assert_allclose(sorted(probs), [1 / 3, 2 / 3])
+    with pytest.raises(ValueError, match="must be 2D"):
+        BitArray(np.zeros(4, np.uint8), num_bits=3)
+
+
+def test_pauli_mask_shape_validation():
+    with pytest.raises(ValueError, match="equal-length"):
+        Pauli(z=np.array([True, False]), x=np.array([True]))
+    with pytest.raises(ValueError, match="Invalid Pauli label"):
+        Pauli.from_label("XQZ")
+    with pytest.raises(ValueError, match="must match number"):
+        SparsePauliOp([Pauli.from_label("XX")], coeffs=[1.0, 2.0])
+
+
+# ----------------------------------------------------- packed >=63-orbital state
+
+
+def test_sci_state_save_load_multiword(tmp_path):
+    """>=63 orbitals: object-dtype CI strings persist via the packed layout."""
+    from sqd_tpu.fermion import SCIState
+
+    norb = 70
+    strs = np.array([(1 << 69) | 7, (1 << 64) | 3, 11], dtype=object)
+    amps = np.ones((3, 3)) / 3.0
+    st = SCIState(amplitudes=amps, ci_strs_a=strs, ci_strs_b=strs, norb=norb, nelec=(2, 2))
+    path = tmp_path / "state.npz"
+    st.save(path)
+    got = SCIState.load(path)
+    assert list(map(int, got.ci_strs_a)) == list(map(int, strs))
+    np.testing.assert_allclose(got.amplitudes, amps)
+
+
+def test_bitpack_object_popcount_and_aliases():
+    from sqd_tpu.fermion import _popcounts
+    from sqd_tpu.ops import bitpack
+
+    strs = np.array([(1 << 69) | 7, 3], dtype=object)
+    np.testing.assert_array_equal(_popcounts(strs), [4, 2])
+    packed = bitpack.ints_to_packed([5, 9], nbits=70)
+    assert packed.shape == (2, 3)
+    # empty-set edges
+    empty = np.zeros((0, 2), np.uint32)
+    assert bitpack.unique_packed(empty).shape[0] == 0
+    np.testing.assert_array_equal(
+        bitpack.find_packed(empty, np.array([[1, 0]], np.uint32)), [-1]
+    )
+
+
+# -------------------------------------------- device-table build with padding
+
+
+def test_device_tables_pad_to_matches_native():
+    """tables_backend='device' + pad_to: padded rows are inert (jnp.pad path)."""
+    from sqd_tpu.ops import bitpack
+    from sqd_tpu.ops.dense_fci import all_hamming_strings, build_dense_hamiltonian
+    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian, sci_matvec_flat
+
+    rng = np.random.default_rng(13)
+    norb, ne = 5, 2
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    chol = rng.normal(size=(6, norb, norb)) * 0.3
+    chol = (chol + chol.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", chol, chol)
+    strs = all_hamming_strings(norb, ne)
+    pa = bitpack.pack_ints(strs, norb)
+    m = len(strs)
+    ham = build_sci_hamiltonian(
+        pa, pa, h1, eri, norb, (ne, ne), dtype=jnp.float64,
+        tables_backend="device", pad_to=(m + 3, m + 5),
+    )
+    h_dense = build_dense_hamiltonian(strs, strs, h1, eri)
+    c = rng.normal(size=(m, m))
+    c_pad = np.zeros(ham.shape)
+    c_pad[:m, :m] = c
+    sigma = np.asarray(sci_matvec_flat(ham, jnp.asarray(c_pad.reshape(-1)))).reshape(ham.shape)
+    want = (h_dense @ c.reshape(-1)).reshape(m, m)
+    np.testing.assert_allclose(sigma[:m, :m], want, atol=1e-10)
+    assert np.all(sigma[m:, :] == 0) and np.all(sigma[:, m:] == 0)
+
+
+# ------------------------------------------------- row-sharded f32 + refine
+
+
+def test_rowsharded_f32_refine_path():
+    """solver_dtype=f32 with refine_iterations>0 drives the _refine_inside
+    shard_map program (f64 polish on the sharded layout)."""
+    from sqd_tpu.ops.dense_fci import all_hamming_strings, build_dense_hamiltonian
+    from sqd_tpu.parallel import solve_sci_rowsharded
+
+    rng = np.random.default_rng(14)
+    norb = 5
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2 + np.diag(np.linspace(-3.0, 0.0, norb))
+    chol = rng.normal(size=(6, norb, norb)) * 0.3
+    chol = (chol + chol.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", chol, chol)
+    strs = all_hamming_strings(norb, 2)
+    res = solve_sci_rowsharded(
+        (strs, strs), h1, eri, norb, (2, 2),
+        solver_dtype=jnp.float32, refine_iterations=2, tol=1e-6,
+    )
+    e_exact = np.linalg.eigvalsh(build_dense_hamiltonian(strs, strs, h1, eri))[0]
+    assert abs(res.energy - e_exact) < 1e-6
