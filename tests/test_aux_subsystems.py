@@ -94,6 +94,29 @@ def test_iteration_logger(system):
     assert log.energies == [h["best_energy"] for h in log.history]
 
 
+def test_iteration_logger_emits_log_records(system, caplog):
+    import logging
+
+    h1, eri, ba = system
+    log = IterationLogger(log_level=logging.INFO)
+    with caplog.at_level(logging.INFO, logger="sqd_tpu"):
+        fermion.diagonalize_fermionic_hamiltonian(
+            h1, eri, ba, samples_per_batch=25, norb=NORB, nelec=NELEC,
+            num_batches=2, max_iterations=1, seed=3, callback=log,
+        )
+    assert any("SQD iteration" in r.getMessage() for r in caplog.records)
+
+
+def test_profile_trace_writes_a_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from sqd_tpu.utils.tracing import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        _ = float(jnp.sum(jnp.arange(8.0)))
+    assert any(tmp_path.rglob("*"))  # trace events were written
+
+
 def test_checkpoint_roundtrip_multiword(tmp_path):
     """Checkpoint format handles >= 63-orbital (object-int) carryover strings."""
     from sqd_tpu.utils.checkpoint import LoopCheckpoint, load_loop_state, save_loop_state
