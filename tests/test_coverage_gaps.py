@@ -232,6 +232,32 @@ def test_device_tables_pad_to_matches_native():
     assert np.all(sigma[m:, :] == 0) and np.all(sigma[:, m:] == 0)
 
 
+def test_build_sci_hamiltonian_validation():
+    from sqd_tpu.ops import bitpack
+    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian
+
+    norb = 4
+    h1 = np.eye(norb)
+    eri = np.zeros((norb,) * 4)
+    pa = bitpack.pack_ints(np.array([0b0011, 0b0101]), norb)
+    bad = bitpack.pack_ints(np.array([0b0111]), norb)  # weight 3, nelec 2
+    with pytest.raises(ValueError, match="Hamming weight 3"):
+        build_sci_hamiltonian(bad, pa, h1, eri, norb, (2, 2))
+    with pytest.raises(ValueError, match="smaller than subspace"):
+        build_sci_hamiltonian(pa, pa, h1, eri, norb, (2, 2), pad_to=(1, 1))
+    with pytest.raises(RuntimeError, match="unavailable"):
+        import sqd_tpu.native as native
+
+        orig = native.available
+        native.available = lambda: False
+        try:
+            build_sci_hamiltonian(pa, pa, h1, eri, norb, (2, 2), tables_backend="native")
+        finally:
+            native.available = orig
+    with pytest.raises(ValueError, match="eri_factor"):
+        build_sci_hamiltonian(pa, pa, h1, eri, norb, (2, 2), eri_factor="bogus")
+
+
 # ------------------------------------------------- row-sharded f32 + refine
 
 
