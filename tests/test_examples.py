@@ -44,6 +44,7 @@ def _load(name: str):
         "11_real_molecule_n2.py",
         "12_excited_states.py",
         "13_large_active_space.py",
+        "15_multiprocess_cluster.py",
     ],
 )
 def test_example_runs(name, tmp_path, monkeypatch, capsys):
