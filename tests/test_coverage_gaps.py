@@ -165,6 +165,47 @@ def test_pauli_mask_shape_validation():
         SparsePauliOp([Pauli.from_label("XX")], coeffs=[1.0, 2.0])
 
 
+def test_recover_configurations_deprecated_1d_occupancies():
+    from sqd_tpu.configuration_recovery import recover_configurations
+
+    rng = np.random.default_rng(15)
+    mat = rng.integers(0, 2, (20, 8)).astype(bool)
+    probs = np.full(20, 1 / 20)
+    occ2 = (np.clip(mat[:, :4].mean(0), 0.1, 0.9), np.clip(mat[:, 4:].mean(0), 0.1, 0.9))
+    # the deprecated 1D layout: [down | up] in qiskit bit order
+    occ1 = np.concatenate([np.flip(occ2[1]), np.flip(occ2[0])])
+    ref = recover_configurations(mat, probs, occ2, num_elec_a=2, num_elec_b=2, rand_seed=7)
+    with pytest.warns(DeprecationWarning, match="1D array is deprecated"):
+        got = recover_configurations(mat, probs, occ1, num_elec_a=2, num_elec_b=2, rand_seed=7)
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_allclose(got[1], ref[1])
+    with pytest.raises(ValueError, match="non-negative"):
+        recover_configurations(mat, probs, occ2, num_elec_a=-1, num_elec_b=2)
+
+
+def test_fcidump_header_validation(tmp_path):
+    from sqd_tpu.models.fcidump import read_fcidump
+
+    bad = tmp_path / "bad.fcidump"
+    bad.write_text("this is not an fcidump")
+    with pytest.raises(ValueError, match="no &FCI header"):
+        read_fcidump(bad)
+    missing = tmp_path / "missing.fcidump"
+    missing.write_text("&FCI NELEC=4,\n/\n0.0 0 0 0 0\n")
+    with pytest.raises(ValueError, match="missing NORB"):
+        read_fcidump(missing)
+
+
+def test_checkpoint_empty_string_roundtrip(tmp_path):
+    from sqd_tpu.utils import checkpoint as ck
+
+    empty = np.array([], dtype=np.int64)
+    packed = ck._strings_to_arrays(empty, 8)
+    assert packed.shape == (0, 1)
+    back = ck._arrays_to_strings(packed, 8)
+    assert len(back) == 0
+
+
 # ----------------------------------------------------- packed >=63-orbital state
 
 
