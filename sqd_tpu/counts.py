@@ -83,7 +83,12 @@ def generate_counts_uniform(
 ) -> dict[str, int]:
     """Generate a counts dictionary of uniformly random bitstrings.
 
-    Mirrors reference ``counts.py:64-97``.
+    Mirrors reference ``counts.py:64-97`` in distribution, NOT in RNG stream:
+    the vectorized implementation draws one uint8 matrix instead of
+    per-sample floats, and returns keys in sorted-unique order rather than
+    sample insertion order — same-seed outputs differ from the reference
+    (and from pre-vectorization versions of this package).  Only the
+    distribution is contractual.
 
     Raises:
         ValueError: ``num_samples`` and ``num_bits`` must be positive integers.
@@ -141,7 +146,10 @@ def generate_counts_bipartite_hamming(
 ) -> dict[str, int]:
     """Generate counts with fixed Hamming weight on each half of the bitstrings.
 
-    Mirrors reference ``counts.py:120-173``.
+    Mirrors reference ``counts.py:120-173`` in distribution, NOT in RNG
+    stream: argsort-of-uniforms replaces per-sample ``rng.choice`` and keys
+    come back in sorted-unique order, so same-seed outputs differ from the
+    reference.  Only the distribution is contractual.
 
     Raises:
         ValueError: ``num_bits`` and ``num_samples`` must be positive integers.

@@ -240,9 +240,14 @@ def bitstring_matrix_to_ci_strs(
 
 def _popcounts(strs: np.ndarray) -> np.ndarray:
     """Vectorized per-string popcount (native kernel for machine ints)."""
-    if strs.dtype == object:  # >= 64 orbitals: unbounded Python ints
+    if strs.dtype == object or (strs.size and int(strs.min()) < 0):
+        # object dtype (>= 64 orbitals: unbounded Python ints) or malformed
+        # negative input — pack_ints would reinterpret negatives as
+        # two's-complement (-1 -> 64 bits); count magnitude bits instead so
+        # the hamming-weight mismatch error reports the same weights the
+        # reference's bin(int(s)).count("1") would.
         return np.fromiter(
-            (int(s).bit_count() for s in strs), dtype=np.int64, count=len(strs)
+            (abs(int(s)).bit_count() for s in strs), dtype=np.int64, count=len(strs)
         )
     from . import native
     from .ops import bitpack

@@ -398,6 +398,12 @@ def build_projected_operator(sorted_packed: np.ndarray, paulis, coeffs) -> Proje
     zws, xws, cs = [], [], []
     for pauli, c in zip(paulis, np.asarray(coeffs)):
         zw, xw = pauli_masks_to_packed(pauli.z, pauli.x)
+        if np.any(zw[w:]) or np.any(xw[w:]):
+            raise ValueError(
+                f"Pauli term acts on more qubits ({len(np.asarray(pauli.z))}) than the "
+                f"packed subspace encodes ({w * 32}); truncating its mask would build a "
+                "wrong operator."
+            )
         n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
         zws.append(zw[:w])
         xws.append(xw[:w])

@@ -112,10 +112,16 @@ def init_distributed(
         )
     except RuntimeError as exc:  # pragma: no cover - raced pre-initialization
         # the runtime was already wired between our is_initialized check and
-        # this call; treat as success.  JAX 0.9 raises "distributed.initialize
-        # should only be called once."; older versions said "already".
+        # this call; treat as success.  Primary signal: the runtime now
+        # reports initialized (version-proof).  Message matching ("already" /
+        # JAX 0.9's "only be called once") kept as fallback for versions
+        # whose is_initialized lags the raise.
         msg = str(exc).lower()
-        if "already" not in msg and "only be called once" not in msg:
+        if not (
+            jax.distributed.is_initialized()
+            or "already" in msg
+            or "only be called once" in msg
+        ):
             raise
     _INITIALIZED = True
     return True

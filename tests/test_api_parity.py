@@ -145,3 +145,14 @@ def test_recover_empty_probabilities_edge():
         np.empty((0, 8), dtype=bool), np.array([]), (np.zeros(4), np.zeros(4)), 2, 2
     )
     assert out.size == 0
+
+
+def test_check_ci_strs_negative_input_counts_magnitude_bits():
+    """Malformed negative CI strings report magnitude popcounts (advisor
+    round-4 finding: pack_ints would two's-complement -1 into weight 64)."""
+    with pytest.raises(ValueError, match="hamming weight 1, but CI string in index 1 has hamming weight 2"):
+        fermion.solve_fermion(
+            (np.array([-1, 3]), np.array([3, 3])),
+            np.zeros((4, 4)),
+            np.zeros((4,) * 4),
+        )

@@ -382,3 +382,14 @@ def test_projected_operator_large_d_chunked_pairing_path():
     out = np.asarray(proj.matvec(jnp.asarray(emb)))
     got = out[:d] + 1j * out[d:]
     np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_projected_operator_rejects_wider_pauli_than_subspace():
+    """A Pauli whose mask spills past the packed word width must raise, not
+    silently truncate (advisor round-4 finding)."""
+    from sqd_tpu.ops.pauli_proj import build_projected_operator
+
+    packed = np.array([[0b0101], [0b1010]], dtype=np.uint32)  # w = 1 word
+    wide = Pauli.from_label("X" + "I" * 39)  # acts on qubit 39 -> word 1
+    with pytest.raises(ValueError, match="more qubits"):
+        build_projected_operator(packed, [wide], np.array([1.0]))
