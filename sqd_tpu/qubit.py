@@ -201,9 +201,21 @@ def solve_qubit_device(
     convention matching ``scipy.sparse.linalg.eigsh`` / reference
     ``qubit.py:73``), computed by the on-device block Davidson
     (:func:`sqd_tpu.ops.davidson.davidson_lowest_k`).
+
+    Like :func:`matrix_elements_from_pauli`, the subspace may be given as a
+    ``(d, W)`` uint32 packed-word matrix instead of a bool matrix — at the
+    reference benchmark's d = 5e7 / 40 qubits the bool form alone is 2 GB of
+    host memory the packed form never materializes.  Memory: the operator is
+    built with ``weights="auto"`` (bit-packed group weights + scan matvec at
+    large d); plan HBM with
+    :func:`sqd_tpu.ops.pauli_proj.estimate_operator_bytes` plus
+    ``2 * max_subspace`` Davidson vectors of ``embedded_dim``.
     """
-    bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
-    packed = bitpack.pack_bool_matrix(bitstring_matrix)
+    if np.asarray(bitstring_matrix).dtype == np.uint32:
+        packed = bitpack.unique_packed(np.asarray(bitstring_matrix))
+    else:
+        bitstring_matrix = sort_and_remove_duplicates(bitstring_matrix)
+        packed = bitpack.pack_bool_matrix(bitstring_matrix)
     op = build_projected_operator(packed, hamiltonian.paulis, hamiltonian.coeffs)
     if k > 1:
         return _solve_qubit_device_k(

@@ -393,3 +393,146 @@ def test_projected_operator_rejects_wider_pauli_than_subspace():
     wide = Pauli.from_label("X" + "I" * 39)  # acts on qubit 39 -> word 1
     with pytest.raises(ValueError, match="more qubits"):
         build_projected_operator(packed, [wide], np.array([1.0]))
+
+
+# ---- packed-weight / implicit-diagonal storage (round-5 memory scaling) ----
+
+
+def _heis_subspace(n=10, d_target=400, seed=8):
+    op = heisenberg_ring(n, j_xx=0.9, j_yy=1.1, j_zz=0.7, h_z=0.2)
+    rng = np.random.default_rng(seed)
+    ints = np.unique(rng.integers(0, 1 << n, size=d_target, dtype=np.int64))
+    packed = np.zeros((len(ints), 1), dtype=np.uint32)
+    packed[:, 0] = ints
+    return op, packed
+
+
+@pytest.mark.parametrize("mode", ["packed", "dense32"])
+def test_projected_operator_weight_modes_match_dense64(mode):
+    """Bit-packed signs and dense-f32 weights must reproduce the dense-f64
+    matvec (packed exactly: signs are exact bits, coefficients fold in the
+    matvec dtype; dense32 to f32 rounding of the stored weights)."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops.pauli_proj import build_projected_operator
+
+    op, packed = _heis_subspace()
+    ref_op = build_projected_operator(packed, op.paulis, op.coeffs, weights="dense64")
+    alt_op = build_projected_operator(packed, op.paulis, op.coeffs, weights=mode)
+    assert alt_op.num_groups == ref_op.num_groups
+    assert alt_op.has_diag and ref_op.has_diag
+    assert alt_op.packed_weights == (mode == "packed")
+    # the diagonal group is implicit in BOTH: perm holds only non-diag groups
+    assert ref_op.perm.shape[0] == ref_op.num_groups - 1
+    d = ref_op.dim
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=ref_op.embedded_dim)
+    got = np.asarray(alt_op.matvec(jnp.asarray(v)))
+    want = np.asarray(ref_op.matvec(jnp.asarray(v)))
+    tol = 1e-13 if mode == "packed" else 1e-6
+    np.testing.assert_allclose(got, want, atol=tol * max(1.0, np.abs(want).max()))
+
+
+def test_projected_operator_scan_matvec_matches_broadcast():
+    """Forcing the lax.scan-over-groups matvec (the large-d O(d)-transient
+    path) must not change any result."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops import pauli_proj
+    from sqd_tpu.ops.pauli_proj import build_projected_operator
+
+    op, packed = _heis_subspace(seed=9)
+    base = build_projected_operator(packed, op.paulis, op.coeffs, weights="dense64")
+    assert not base.scan_matvec
+    old = pauli_proj._SCAN_MATVEC_BYTES
+    pauli_proj._SCAN_MATVEC_BYTES = 1
+    try:
+        scan_op = build_projected_operator(packed, op.paulis, op.coeffs, weights="dense64")
+    finally:
+        pauli_proj._SCAN_MATVEC_BYTES = old
+    assert scan_op.scan_matvec
+    v = np.random.default_rng(4).normal(size=base.embedded_dim)
+    np.testing.assert_allclose(
+        np.asarray(scan_op.matvec(jnp.asarray(v))),
+        np.asarray(base.matvec(jnp.asarray(v))),
+        atol=1e-12,
+    )
+
+
+def test_projected_operator_all_diagonal():
+    """A purely diagonal Pauli sum stores NO permutation tables at all —
+    hdiag carries the whole operator."""
+    import jax.numpy as jnp
+
+    from sqd_tpu.ops.pauli_proj import build_projected_operator
+
+    nq = 6
+    labels = ["Z" * nq, "ZI" * (nq // 2), "I" * nq]
+    paulis = [Pauli.from_label(s) for s in labels]
+    coeffs = np.array([0.5, -0.3, 1.25])
+    rng = np.random.default_rng(5)
+    ints = np.unique(rng.integers(0, 1 << nq, size=40, dtype=np.int64))
+    packed = np.zeros((len(ints), 1), dtype=np.uint32)
+    packed[:, 0] = ints
+    proj = build_projected_operator(packed, paulis, coeffs)
+    assert proj.perm.shape[0] == 0 and proj.num_groups == 1
+    d = len(ints)
+    v = rng.normal(size=d)
+    # oracle: diagonal element per row from the term algebra
+    diag = np.zeros(d)
+    for p, c in zip(paulis, coeffs):
+        zmask = int(sum(1 << q for q in np.nonzero(np.asarray(p.z))[0]))
+        for i, b in enumerate(ints):
+            par = bin(int(b) & zmask).count("1") & 1
+            diag[i] += c * (1 - 2 * par)
+    np.testing.assert_allclose(np.asarray(proj.matvec(jnp.asarray(v))), diag * v, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(proj.hdiag), diag, atol=1e-12)
+
+
+def test_estimate_operator_bytes_matches_build():
+    """The planning estimate must equal the built operator's resident bytes,
+    and packed storage must be far below the dense-f64 equivalent."""
+    from sqd_tpu.ops.pauli_proj import build_projected_operator, estimate_operator_bytes
+
+    op, packed = _heis_subspace(n=10, d_target=600, seed=11)
+    for mode in ("dense64", "dense32", "packed"):
+        proj = build_projected_operator(packed, op.paulis, op.coeffs, weights=mode)
+        est = estimate_operator_bytes(
+            proj.dim,
+            num_nondiag_groups=proj.perm.shape[0],
+            max_terms_per_group=max(proj.coeff_re.shape[1], 1) if mode == "packed" else 1,
+            weights=mode,
+            is_complex=proj.is_complex,
+            has_diag=proj.has_diag,
+        )
+        assert proj.memory_bytes == est, mode
+    dense = build_projected_operator(packed, op.paulis, op.coeffs, weights="dense64")
+    packed_op = build_projected_operator(packed, op.paulis, op.coeffs, weights="packed")
+    # weights alone shrink 16x; perm (shared) dominates what remains
+    assert packed_op.memory_bytes < 0.55 * dense.memory_bytes
+    # reference-benchmark scale headline: 88-term ring at d = 5e7 fits 16 GB
+    assert estimate_operator_bytes(
+        50_000_000, num_nondiag_groups=22, max_terms_per_group=2,
+        weights="packed", is_complex=True,
+    ) < 6e9
+
+
+def test_solve_qubit_device_on_packed_operator():
+    """End-to-end eigensolve through the packed-weight scan matvec (the
+    d >= 2e6 auto path, forced small here) pinned against scipy eigsh."""
+    from sqd_tpu.ops import pauli_proj
+
+    n = 8
+    op = heisenberg_ring(n, j_xx=1.0, j_yy=1.0, j_zz=0.8, h_z=0.3)
+    rng = np.random.default_rng(12)
+    ints = np.unique(rng.integers(0, 1 << n, size=180, dtype=np.int64))
+    bits = ((ints[:, None] >> np.arange(n)[::-1]) & 1).astype(bool)
+    e_ref, _ = qubit.solve_qubit(bits, op, k=1, which="SA")
+    old = pauli_proj._PACKED_WEIGHTS_MIN_D
+    pauli_proj._PACKED_WEIGHTS_MIN_D = 1
+    try:
+        e_dev, vec, proj = qubit.solve_qubit_device(bits, op, tol=1e-10)
+    finally:
+        pauli_proj._PACKED_WEIGHTS_MIN_D = old
+    assert proj.packed_weights and proj.scan_matvec
+    assert abs(e_dev - float(e_ref[0])) < 1e-8
