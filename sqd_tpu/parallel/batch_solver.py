@@ -166,19 +166,26 @@ def solve_sci_batch_sharded(
     stacked64 = jax.tree.map(lambda *xs: jnp.stack(xs), *hams64)
     stacked32 = stacked64.astype(solver_dtype)
 
+    # multi-host: device_put onto a global mesh takes process-local (host)
+    # inputs, each process passing the same global value
+    from .distributed import host_local, replicate_to_host
+
     shard = batch_sharding(mesh)
-    stacked64 = jax.device_put(stacked64, shard)
-    stacked32 = jax.device_put(stacked32, shard)
+    stacked64 = jax.device_put(jax.tree.map(host_local, stacked64), shard)
+    stacked32 = jax.device_put(jax.tree.map(host_local, stacked32), shard)
 
     solve = jax.jit(
         jax.vmap(lambda h32, h64: _solve_one(h32, h64, tol, max_subspace, max_cycle)),
         out_shardings=shard,
     )
     energies, vecs, occ_as, occ_bs, iters, conv = solve(stacked32, stacked64)
-    energies = np.asarray(energies)
-    occ_as = np.asarray(occ_as)
-    occ_bs = np.asarray(occ_bs)
-    vecs = np.asarray(vecs)
+    # every process needs every batch's result (the orchestrator's host-side
+    # carryover/convergence epilogue runs redundantly-but-identically per
+    # process): replicate before readback
+    energies = replicate_to_host(energies, mesh)
+    occ_as = replicate_to_host(occ_as, mesh)
+    occ_bs = replicate_to_host(occ_bs, mesh)
+    vecs = replicate_to_host(vecs, mesh)
 
     results = []
     for i, (strs_a, strs_b) in enumerate(checked):

@@ -39,6 +39,95 @@ def _problem(return_chol: bool = False):
     return norb, h1, eri
 
 
+def _run_full_loop(mesh):
+    """The FULL SQD loop (L3 orchestrator) over the mesh-sharded batch solver.
+
+    Deterministic by construction (fixed seeds everywhere); returns a
+    JSON-able fingerprint whose floats round-trip exactly (Python json uses
+    shortest-roundtrip repr), so cross-process comparisons are bit-for-bit.
+    """
+    import hashlib
+    from functools import partial
+
+    from sqd_tpu import fermion
+    from sqd_tpu.ops import dense_fci
+    from sqd_tpu.parallel import solve_sci_batch_sharded
+    from sqd_tpu.primitives import BitArray
+
+    norb, h1, eri = _problem()
+    nelec = (3, 3)
+    strs = dense_fci.all_hamming_strings(norb, nelec[0])
+    h_dense = dense_fci.build_dense_hamiltonian(strs, strs, h1, eri)
+    gs = np.linalg.eigh(h_dense)[1][:, 0]
+    n = len(strs)
+    probs = np.abs(gs) ** 2
+    probs /= probs.sum()
+    rng = np.random.default_rng(21)
+    draws = rng.choice(n * n, size=4000, p=probs)
+    rows = np.zeros((len(draws), 2 * norb), dtype=bool)
+    for i, d in enumerate(draws):
+        sa, sb = int(strs[d // n]), int(strs[d % n])
+        for p in range(norb):
+            rows[i, norb - 1 - p] = (sb >> p) & 1
+            rows[i, 2 * norb - 1 - p] = (sa >> p) & 1
+    bit_array = BitArray.from_bool_array(rows)
+
+    energies_iter = []
+    result = fermion.diagonalize_fermionic_hamiltonian(
+        h1,
+        eri,
+        bit_array,
+        samples_per_batch=40,
+        norb=norb,
+        nelec=nelec,
+        num_batches=3,
+        max_iterations=3,
+        energy_tol=1e-15,
+        occupancies_tol=1e-15,
+        seed=5,
+        sci_solver=partial(solve_sci_batch_sharded, mesh=mesh, tol=1e-8),
+        callback=lambda rs: energies_iter.append([r.energy for r in rs]),
+    )
+    st = result.sci_state
+    h = hashlib.sha256()
+    for arr in (
+        np.asarray(st.ci_strs_a, np.int64),
+        np.asarray(st.ci_strs_b, np.int64),
+        np.ascontiguousarray(st.amplitudes, np.float64),
+        np.ascontiguousarray(result.orbital_occupancies[0], np.float64),
+        np.ascontiguousarray(result.orbital_occupancies[1], np.float64),
+    ):
+        h.update(arr.tobytes())
+    return {
+        "iterations": len(energies_iter),
+        "energies_iter": energies_iter,
+        "final_energy": result.energy,
+        "state_sha": h.hexdigest(),
+        "dim": [len(st.ci_strs_a), len(st.ci_strs_b)],
+    }
+
+
+_WORKER_FULL_LOOP = """
+import json, sys
+sys.path.insert(0, REPO_DIR)
+import jax
+
+rank, port = int(sys.argv[1]), int(sys.argv[2])
+import sqd_tpu.parallel as par
+
+ok = par.init_distributed(
+    "127.0.0.1:%d" % port, num_processes=2, process_id=rank, platform="cpu"
+)
+assert ok and jax.process_count() == 2 and jax.device_count() == 8
+
+from tests.test_distributed_multiprocess import _run_full_loop
+
+out = _run_full_loop(par.global_mesh("batch"))
+out["rank"] = rank
+print(json.dumps(out), flush=True)
+"""
+
+
 _WORKER = """
 import json, sys
 sys.path.insert(0, REPO_DIR)
@@ -192,3 +281,27 @@ def test_two_process_rowsharded_solve(tmp_path):
         assert abs(o["amp_norm"] - 1.0) < 1e-9
     # SPMD: both ranks computed the identical epilogue
     assert outs[0]["energy"] == pytest.approx(outs[1]["energy"], abs=1e-12)
+
+
+def test_two_process_full_sqd_loop(tmp_path):
+    """The COMPLETE SQD loop (postselect -> recover -> subsample -> batch
+    solve -> carryover, 3 iterations) across 2 OS processes with the
+    mesh-sharded batch solver, bit-for-bit identical to the single-process
+    loop on the same 8-device mesh — the seam the reference distributes via
+    its MPI Dice solver (``fermion.py:161-165,370``,
+    ``docs/guides/integrate_dice_solver.ipynb``)."""
+    outs = _launch_two(tmp_path, _WORKER_FULL_LOOP)
+
+    from sqd_tpu.parallel import default_mesh
+
+    want = _run_full_loop(default_mesh())
+    assert want["iterations"] == 3
+
+    assert {o["rank"] for o in outs} == {0, 1}
+    for o in outs:
+        # bit-for-bit: every per-batch energy of every iteration, the final
+        # energy, and the sha over strings + amplitudes + occupancies
+        assert o["energies_iter"] == want["energies_iter"]
+        assert o["final_energy"] == want["final_energy"]
+        assert o["state_sha"] == want["state_sha"]
+        assert o["dim"] == want["dim"]
