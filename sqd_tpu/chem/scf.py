@@ -88,15 +88,17 @@ def rhf(
 
         Returns ``(e_elec, mo_energy, c, converged)``.
         """
-        for _ in range(4):
+        for _ in range(4 if max_cycle else 0):
             f = _fock(hcore, eri, dm)
             _, c = solve_fock(f)
             dm = 0.6 * (2.0 * c[:, :nocc] @ c[:, :nocc].T) + 0.4 * dm
         errs: list[np.ndarray] = []
         focks: list[np.ndarray] = []
         e_old, ok = 0.0, False
-        mo_energy = np.zeros(nao)
-        c = np.eye(nao)
+        # max_cycle=0 contract: one Roothaan step of the starting density —
+        # callers get well-defined guess orbitals (converged=False) for
+        # systems whose RHF will not converge (docs/design/chemistry.md)
+        mo_energy, c = solve_fock(_fock(hcore, eri, dm))
         for _ in range(max_cycle):
             f = _fock(hcore, eri, dm)
             # DIIS on the orthogonalized gradient FDS - SDF

@@ -141,6 +141,99 @@ def test_global_mesh_validation_and_two_axis_default():
         global_mesh("a", "b", axis_sizes=(3, 5))
 
 
+def test_init_distributed_branches(monkeypatch):
+    """All init_distributed control-flow branches, in-process.
+
+    The real 2-process execution lives in test_distributed_multiprocess.py;
+    regressions in the branch logic itself should fail HERE with an
+    assertion, not there with an opaque subprocess timeout.  The runtime
+    call is mocked, so no global JAX state is mutated."""
+    import jax
+
+    from sqd_tpu.parallel import distributed
+
+    calls = []
+
+    def fake_initialize(**kw):
+        calls.append(kw)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+
+    # env-var configuration path (coordinator + world size + rank from env)
+    monkeypatch.setenv("SQD_TPU_COORDINATOR", "127.0.0.1:7777")
+    monkeypatch.setenv("SQD_TPU_NUM_PROCESSES", "4")
+    monkeypatch.setenv("SQD_TPU_PROCESS_ID", "2")
+    assert distributed.init_distributed(platform="cpu") is True
+    assert calls[-1]["coordinator_address"] == "127.0.0.1:7777"
+    assert calls[-1]["num_processes"] == 4 and calls[-1]["process_id"] == 2
+    # idempotent second call: no new initialize
+    assert distributed.init_distributed() is True and len(calls) == 1
+
+    # cloud-TPU autodetection: >1 worker hostname, no explicit coordinator
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+    monkeypatch.delenv("SQD_TPU_COORDINATOR")
+    monkeypatch.delenv("SQD_TPU_NUM_PROCESSES")
+    monkeypatch.delenv("SQD_TPU_PROCESS_ID")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    assert distributed.init_distributed() is True
+    assert len(calls) == 2 and calls[-1]["coordinator_address"] is None
+
+    # single-entry TPU_WORKER_HOSTNAMES (this image) stays degenerate
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert distributed.init_distributed() is False and len(calls) == 2
+
+
+def test_init_distributed_raced_preinitialization(monkeypatch):
+    """The raced-initialize fallback: is_initialized() wins, message-match
+    is the version-lag fallback, anything else re-raises."""
+    import jax
+
+    from sqd_tpu.parallel import distributed
+
+    def raise_once(**kw):
+        raise RuntimeError("jax.distributed.initialize can only be called once")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_once)
+    # (a) primary signal: runtime reports initialized after the raise
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+    assert distributed.init_distributed("127.0.0.1:7778") is True
+
+    # (b) fallback signal: message matching when is_initialized lags
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+    assert distributed.init_distributed("127.0.0.1:7778") is True
+
+    # (c) unrelated RuntimeError re-raises
+    def raise_other(**kw):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_other)
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
+    with pytest.raises(RuntimeError, match="connection refused"):
+        distributed.init_distributed("127.0.0.1:7778")
+
+
+def test_host_helpers_multiprocess_branches(monkeypatch):
+    """host_local / replicate_to_host multi-process branches (process_count
+    mocked to 2; the sharded readback itself runs on the local mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sqd_tpu.parallel import default_mesh, distributed
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    dev = jnp.arange(6.0)
+    out = distributed.host_local(dev)
+    assert isinstance(out, np.ndarray) and np.array_equal(out, np.arange(6.0))
+    mesh = default_mesh()
+    rep = distributed.replicate_to_host(jnp.arange(8.0), mesh)
+    assert isinstance(rep, np.ndarray) and np.array_equal(rep, np.arange(8.0))
+    assert distributed.is_distributed() is True
+
+
 # -------------------------------------------------------------- primitives
 
 
