@@ -338,6 +338,10 @@ def main():
                 "published_exact_total": N2_631G_CASCI_TOTAL,
                 "abs_error_vs_published": err_published,
             }
+            # free the ~GB-scale 1.9e7-det tables: they (plus the 1e6
+            # headline tables below) otherwise stay HBM-resident and OOM the
+            # fe4s4 1e7-det section (observed RESOURCE_EXHAUSTED, r5 run 1)
+            del ham64_7, ham32_7, hd7, strs_full, pf
         else:
             casci_detail = {"skipped": "time budget"}
     except Exception as exc:  # pragma: no cover - defensive
@@ -557,6 +561,12 @@ def main():
     # operator.  Records the full wall-clock the VERDICT r3 found missing.
     fe4s4_detail = None
     _WD["stage"] = "fe4s4_class_1e7"
+    # release the headline-solve device buffers (1e6-det gather tables +
+    # Krylov vector) before staging the 1e7-det dense-DF operator
+    del ham64, ham32, hd32, vec
+    import gc
+
+    gc.collect()
     try:
         if _SMALL:
             m7 = n7 = 96

@@ -311,6 +311,7 @@ def solve_sci(
     table_cache=None,
     with_rdms: bool = True,
     matvec_strategy: str = "gather",
+    eri_factor: np.ndarray | str | None = "auto",
     **kwargs,
 ) -> SCIResult:
     """Diagonalize the Hamiltonian in the subspace spanned by the CI strings.
@@ -361,6 +362,11 @@ def solve_sci(
             norb each refine iteration costs a dense-ERI f64 matvec, so
             consider ``refine_iterations=0`` there and rely on the exact
             f64 energy evaluation (first-order-accurate in the residual).
+        eri_factor: forwarded to :func:`build_sci_hamiltonian` — ``"auto"``
+            (default) attaches a pivoted-Cholesky factor when npair > 256
+            and the integrals are PSD; an explicit ``(X, norb^2)`` array
+            forces a factor at any size (enables ``"dense_df"`` below the
+            auto threshold); ``None`` disables factoring.
         **kwargs: ignored extras for signature compatibility.
 
     Returns:
@@ -393,6 +399,7 @@ def solve_sci(
         dtype=jnp.float64,
         pad_to=pad_to,
         table_cache=table_cache,
+        eri_factor=eri_factor,
     )
     ham = ham64.astype(solver_dtype)
     mp, np_ = ham.shape

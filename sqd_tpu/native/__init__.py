@@ -20,6 +20,7 @@ import numpy as np
 __all__ = [
     "available",
     "desdes_unique",
+    "pauli_diag_elements",
     "popcount_rows",
     "gather_tables",
     "gather_values",
@@ -133,6 +134,17 @@ def _load():
             ctypes.c_int, f64p, f64p, ctypes.c_int, f64p, f64p, f64p, f64p,
         ]
         lib.ao_integrals_cart.restype = ctypes.c_int
+        u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+        lib.pauli_diag_from_bool.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, u8p,
+            ctypes.c_double, ctypes.c_double, f64p, i64p, i64p,
+        ]
+        lib.pauli_diag_from_bool.restype = None
+        lib.pauli_diag_from_packed.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, u32p,
+            ctypes.c_double, ctypes.c_double, f64p, i64p, i64p,
+        ]
+        lib.pauli_diag_from_packed.restype = None
         _lib = lib
         return _lib
 
@@ -151,6 +163,46 @@ def popcount_rows(packed: np.ndarray) -> np.ndarray:
     out = np.empty(packed.shape[0], dtype=np.int64)
     lib.popcount_rows(packed, packed.shape[0], packed.shape[1], out)
     return out
+
+
+def pauli_diag_elements(mat: np.ndarray, zmask: np.ndarray, phase: complex):
+    """Fused diagonal-Pauli matrix elements; ``None`` without the library.
+
+    Streams the subspace ONCE and writes ``(amplitudes, rows, cols)`` in the
+    same pass (``amp_i = phase * (-1)^popcount(row_i AND z)``, rows = cols =
+    arange) — the NumPy formulation costs 4-5 separate multi-GB passes at the
+    reference benchmark's d = 5e7 on this single-core host.
+
+    Args:
+        mat: ``(n, nq)`` bool matrix with ``zmask`` the per-COLUMN 0/1 byte
+            mask (column order, i.e. qubit order reversed), or ``(n, W)``
+            packed uint32 with ``zmask`` the packed z words (length >= W;
+            extra words must be zero — caller-validated).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(mat.shape[0])
+    amps = np.empty(2 * n, dtype=np.float64)
+    rows = np.empty(n, dtype=np.int64)
+    cols = np.empty(n, dtype=np.int64)
+    ph_re, ph_im = float(np.real(phase)), float(np.imag(phase))
+    if mat.dtype == np.uint32:
+        packed = np.ascontiguousarray(mat)
+        w = packed.shape[1]
+        zw = np.zeros(w, dtype=np.uint32)
+        zm = np.asarray(zmask, dtype=np.uint32)
+        zw[: min(w, len(zm))] = zm[:w]
+        lib.pauli_diag_from_packed(packed, n, w, zw, ph_re, ph_im, amps, rows, cols)
+    elif mat.dtype == np.bool_:
+        bm = np.ascontiguousarray(mat).view(np.uint8)
+        zsel = np.ascontiguousarray(np.asarray(zmask, dtype=np.uint8))
+        if len(zsel) != mat.shape[1]:
+            return None
+        lib.pauli_diag_from_bool(bm, n, mat.shape[1], zsel, ph_re, ph_im, amps, rows, cols)
+    else:
+        return None
+    return amps.view(np.complex128), rows, cols
 
 
 def desdes_unique(strs_packed: np.ndarray, nelec: int) -> np.ndarray:

@@ -1099,3 +1099,62 @@ int ao_integrals_cart(int nshell, const int* ls, const double* centers,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused diagonal-Pauli matrix elements (single-core host fast path).
+//
+// For a Pauli with no X/Y component every subspace string connects to itself:
+// amp_i = phase * (-1)^popcount(string_i AND z_mask), rows = cols = arange.
+// The NumPy formulation walks the data in 4-5 separate passes (pack, mask,
+// popcount, complex cast, arange copies) — on this VM's single core that is
+// the whole cost of the reference's published like-for-like benchmark
+// (benchmark_pauli_projection.ipynb cells 6-7, d = 5e7, 40 qubits).  These
+// kernels stream the input once and write all three outputs in the same pass.
+
+extern "C" {
+
+// Input: row-major bool matrix (1 byte/entry, n x nq, column 0 = MSB / qubit
+// nq-1), zsel = per-COLUMN 0/1 byte mask.  amps is interleaved complex128.
+void pauli_diag_from_bool(const uint8_t* bm, int64_t n, int nq,
+                          const uint8_t* zsel, double ph_re, double ph_im,
+                          double* amps, int64_t* rows, int64_t* cols) {
+    const int nfull = nq / 8;
+    const int tail = nq - nfull * 8;
+    std::vector<uint64_t> zw(nfull > 0 ? nfull : 1);
+    for (int jj = 0; jj < nfull; ++jj) std::memcpy(&zw[jj], zsel + jj * 8, 8);
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* row = bm + i * nq;
+        uint64_t acc = 0;
+        for (int jj = 0; jj < nfull; ++jj) {
+            uint64_t v;
+            std::memcpy(&v, row + jj * 8, 8);
+            acc ^= v & zw[jj];
+        }
+        int par = __builtin_popcountll(acc) & 1;
+        for (int c = nfull * 8; c < nfull * 8 + tail; ++c)
+            par ^= (row[c] & zsel[c]) & 1;
+        const double s = par ? -1.0 : 1.0;
+        amps[2 * i] = s * ph_re;
+        amps[2 * i + 1] = s * ph_im;
+        rows[i] = i;
+        cols[i] = i;
+    }
+}
+
+// Same contract over packed little-endian uint32 words.
+void pauli_diag_from_packed(const uint32_t* packed, int64_t n, int w,
+                            const uint32_t* zw, double ph_re, double ph_im,
+                            double* amps, int64_t* rows, int64_t* cols) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* row = packed + i * w;
+        int acc = 0;
+        for (int j = 0; j < w; ++j) acc += __builtin_popcount(row[j] & zw[j]);
+        const double s = (acc & 1) ? -1.0 : 1.0;
+        amps[2 * i] = s * ph_re;
+        amps[2 * i + 1] = s * ph_im;
+        rows[i] = i;
+        cols[i] = i;
+    }
+}
+
+}  // extern "C"

@@ -128,42 +128,78 @@ def dense_df_matvec_flat(op: DenseDFOperator, x: jax.Array) -> jax.Array:
     return op.matvec(x.reshape(m, n)).reshape(-1)
 
 
+_BUILD_COL_BLOCK = 512  # j-axis tiles of the W build (see _w_stack)
+
+
 def _w_stack(src, sign, ell, dtype) -> jax.Array:
-    """``W[x] = sum_pq L[x, pq] * A_pq`` via pair-chunked one-hot matmuls.
+    """``W[x] = sum_pq L[x, pq] * A_pq`` via pair- and column-tiled matmuls.
 
     ``A_pq[j, :] = sign[pq, j] * e_{src[pq, j]}`` (clamped tables: invalid
     entries carry sign 0, so padded/absent excitations contribute nothing).
     Built on device: the inputs are the already-resident gather tables, and
     the one-hot einsum is ``2 * X * npair * M^2`` FLOPs of MXU work — far
     cheaper than shipping the (X, M, M) result over a host link.
+
+    The accumulation is tiled over BOTH the pair axis and the output string
+    (j) axis, each tile written into ``W`` in place via dynamic_update_slice:
+    the earlier pairs-only formulation materialized a full (X, M^2) addend
+    plus the carried W per iteration — ~15 GB peak at the [4Fe-4S]-class
+    shape (X=108, M=3163), observed RESOURCE_EXHAUSTED on a 16 GB v5e.
+    This form peaks at W + one (X, M, jb) block + (cp, M, jb) one-hots
+    (~5.8 GB at the same shape).
     """
     npair, m = src.shape
     x_tot = ell.shape[0]
     cp = min(_BUILD_PAIR_CHUNK, npair)
-    nchunk, rem = divmod(npair, cp)
     ell = ell.astype(dtype)
     sign_f = sign.astype(dtype)
-
-    def chunk_w(p0, count):
-        src_c = jax.lax.dynamic_slice(src, (p0, 0), (count, m))
-        sgn_c = jax.lax.dynamic_slice(sign_f, (p0, 0), (count, m))
-        ell_c = jax.lax.dynamic_slice(ell, (0, p0), (x_tot, count))
-        onehot = jax.nn.one_hot(src_c, m, dtype=dtype)  # (count, M, M)
-        a_c = sgn_c[:, :, None] * onehot
-        return jnp.matmul(
-            ell_c, a_c.reshape(count, m * m), preferred_element_type=dtype
+    # pad the pair axis to a multiple of cp with sign-0 rows (clamped-table
+    # convention: zero sign contributes nothing) — no remainder pass needed
+    pad_p = (-npair) % cp
+    if pad_p:
+        src = jnp.concatenate([src, jnp.zeros((pad_p, m), src.dtype)], axis=0)
+        sign_f = jnp.concatenate(
+            [sign_f, jnp.zeros((pad_p, m), sign_f.dtype)], axis=0
         )
+        ell = jnp.concatenate(
+            [ell, jnp.zeros((x_tot, pad_p), ell.dtype)], axis=1
+        )
+    npair_p = npair + pad_p
+    jb = min(_BUILD_COL_BLOCK, m)
 
-    def body(i, w):
-        return w + chunk_w(i * cp, cp)
+    def block(j0, count):
+        """(X, count, M) W-rows for table strings j in [j0, j0+count)."""
+
+        def body(i, acc):
+            p0 = i * cp
+            src_c = jax.lax.dynamic_slice(src, (p0, j0), (cp, count))
+            sgn_c = jax.lax.dynamic_slice(sign_f, (p0, j0), (cp, count))
+            ell_c = jax.lax.dynamic_slice(ell, (0, p0), (x_tot, cp))
+            onehot = jax.nn.one_hot(src_c, m, dtype=dtype)  # (cp, count, M)
+            a_c = sgn_c[:, :, None] * onehot
+            return acc + jnp.matmul(
+                ell_c, a_c.reshape(cp, count * m), preferred_element_type=dtype
+            )
+
+        acc = jax.lax.fori_loop(
+            0, npair_p // cp, body, jnp.zeros((x_tot, count * m), dtype)
+        )
+        return acc.reshape(x_tot, count, m)
+
+    jnb, jrem = divmod(m, jb)
+
+    def outer(t, w):
+        return jax.lax.dynamic_update_slice(w, block(t * jb, jb), (0, t * jb, 0))
 
     with jax.default_matmul_precision("highest"):
         w = jax.lax.fori_loop(
-            0, nchunk, body, jnp.zeros((x_tot, m * m), dtype)
+            0, jnb, outer, jnp.zeros((x_tot, m, m), dtype)
         )
-        if rem:
-            w = w + chunk_w(nchunk * cp, rem)
-    return w.reshape(x_tot, m, m)
+        if jrem:
+            w = jax.lax.dynamic_update_slice(
+                w, block(jnb * jb, jrem), (0, jnb * jb, 0)
+            )
+    return w
 
 
 def _dense_samespin(idx, val, dtype) -> jax.Array:
@@ -197,6 +233,9 @@ def densify(
             "term's pair matrix is not PSD); solve with spin_shift=0"
         )
     ell = ham.eri_chol
+    # small allocations first: the W stacks dominate HBM, keep them last
+    haa = _dense_samespin(ham.nbr_idx_a, ham.nbr_val_a, dtype)
+    hbb = _dense_samespin(ham.nbr_idx_b, ham.nbr_val_b, dtype)
     wa = _w_stack(ham.src_a, ham.sign_a, ell, dtype)
     # identical alpha/beta string sets (every S_z = 0 workflow, incl. the
     # [4Fe-4S] (27, 27) sector) make Wb == Wa: alias the buffer and halve
@@ -205,8 +244,6 @@ def densify(
         jnp.all(ham.src_a == ham.src_b) & jnp.all(ham.sign_a == ham.sign_b)
     )
     wb = wa if same_sets else _w_stack(ham.src_b, ham.sign_b, ell, dtype)
-    haa = _dense_samespin(ham.nbr_idx_a, ham.nbr_val_a, dtype)
-    hbb = _dense_samespin(ham.nbr_idx_b, ham.nbr_val_b, dtype)
     return DenseDFOperator(
         wa=wa, wb=wb, haa=haa, hbb=hbb, hdiag=ham.hdiag.astype(dtype),
         x_chunk=x_chunk,

@@ -1193,6 +1193,13 @@ def build_sci_hamiltonian(
         pad_to: optional (M_pad, N_pad) — padded determinants are inert
             (sentinel gather entries, huge hdiag) so bucketing subspace sizes
             avoids XLA recompilation storms (SURVEY.md §7 hard part #2).
+        tables_backend: ``"auto"`` (default) uses the native C++ host table
+            kernels when available and falls back to ``"device"``;
+            ``"native"`` requires them; ``"device"`` builds every table with
+            the jitted on-device kernels from the packed strings — no host
+            table compute, and only O((M+N)*norb) diagonal pieces cross the
+            host->device link above ``DEVICE_DIAG_MIN_ELEMS``
+            (``probes/device_tables.py`` stages the on-chip timing).
         table_cache: optional :class:`sqd_tpu.ops.table_cache.TableCache` —
             reuses the set-independent per-string halves of the table build
             across calls whose string sets overlap (the orchestrator's
@@ -1240,6 +1247,11 @@ def build_sci_hamiltonian(
     # Table build: the native C++ host path avoids a per-shape XLA compile
     # (minutes on a tunneled TPU) and is faster in absolute terms; the device
     # path remains as reference/fallback and is exercised by tests directly.
+    if tables_backend not in ("auto", "native", "device"):
+        raise ValueError(
+            f"unknown tables_backend {tables_backend!r} "
+            "(expected 'auto', 'native' or 'device')"
+        )
     use_native = False
     if tables_backend == "auto":
         from .. import native
@@ -1371,7 +1383,7 @@ def build_sci_hamiltonian(
             )
         else:
             hd = dev["hdiag"]
-    else:
+    else:  # tables_backend="device": jitted builds from the packed strings
         strs_a = jnp.asarray(strs_a_packed)
         strs_b = jnp.asarray(strs_b_packed)
         h1e_d = jnp.asarray(h1e, dtype)
@@ -1380,7 +1392,27 @@ def build_sci_hamiltonian(
         src_b, sign_b = linktab.build_gather_tables(strs_b, norb)
         nbr_idx_a, nbr_val_a = build_samespin_tables(strs_a, h1e_d, eri_d, norb, n_a)
         nbr_idx_b, nbr_val_b = build_samespin_tables(strs_b, h1e_d, eri_d, norb, n_b)
-        hd = jnp.asarray(_hdiag_np(occ_a_h, occ_b_h, h1e, eri), dtype)
+        # same transfer policy as the native branch: above the threshold,
+        # ship only the O((M+N)*norb) rank-structured diagonal pieces and
+        # assemble the exact (M, N) f64 diagonal on device
+        if m_pad * n_pad >= DEVICE_DIAG_MIN_ELEMS:
+            a_part_h, b_part_h, w_h = _hdiag_parts_np(occ_a_h, occ_b_h, h1e, eri)
+            if pad_m or pad_n:
+                a_part_h = np.pad(a_part_h, (0, pad_m), constant_values=1e30)
+                b_part_h = np.pad(b_part_h, (0, pad_n), constant_values=1e30)
+                w_h = np.pad(w_h, ((0, pad_n), (0, 0)))
+            occ_ad_h = np.pad(occ_a_h, ((0, pad_m), (0, 0))) if pad_m else occ_a_h
+            hd = _hdiag_device(
+                jnp.asarray(a_part_h), jnp.asarray(b_part_h),
+                jnp.asarray(occ_ad_h), jnp.asarray(w_h), out_dtype=np_dtype,
+            )
+        else:
+            hd_h = _hdiag_np(occ_a_h, occ_b_h, h1e, eri)
+            if pad_m or pad_n:
+                hd_h = np.pad(
+                    hd_h, ((0, pad_m), (0, pad_n)), constant_values=1e30
+                )
+            hd = jnp.asarray(hd_h, dtype)
         if pad_m or pad_n:
             src_a = jnp.pad(src_a, ((0, 0), (0, pad_m)))
             sign_a = jnp.pad(sign_a, ((0, 0), (0, pad_m)))
@@ -1390,8 +1422,6 @@ def build_sci_hamiltonian(
             nbr_val_a = jnp.pad(nbr_val_a, ((0, pad_m), (0, 0)))
             nbr_idx_b = jnp.pad(nbr_idx_b, ((0, pad_n), (0, 0)))
             nbr_val_b = jnp.pad(nbr_val_b, ((0, pad_n), (0, 0)))
-            big = jnp.asarray(1e30, dtype)
-            hd = jnp.pad(hd, ((0, pad_m), (0, pad_n)), constant_values=big)
         eri_t = jnp.asarray(eri_t_h)
         eri_chol = None if eri_chol_h is None else jnp.asarray(eri_chol_h)
     return SCIHamiltonian(

@@ -77,13 +77,15 @@ def matrix_elements_from_pauli(
         pauli: a :class:`sqd_tpu.primitives.Pauli` (or any object with boolean
             ``z``/``x`` arrays in qubit order, e.g. a Qiskit ``Pauli``).
     """
-    if bitstring_matrix.dtype == np.uint32:
+    is_packed = bitstring_matrix.dtype == np.uint32
+    if is_packed:
         packed_h = np.asarray(bitstring_matrix)
+        w = packed_h.shape[1]
     else:
-        packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
+        packed_h = None  # packing a d x nq bool matrix costs a multi-GB pass
+        w = bitpack.num_words(bitstring_matrix.shape[1])
     zw, xw = pauli_masks_to_packed(np.asarray(pauli.z), np.asarray(pauli.x))
-    d = len(packed_h)
-    w = packed_h.shape[1]
+    d = len(bitstring_matrix)
     n_y = int(np.sum(np.asarray(pauli.z) & np.asarray(pauli.x)))
     phase = 1j**n_y
 
@@ -98,10 +100,23 @@ def matrix_elements_from_pauli(
         # DIAGONAL term (no X/Y component): every string connects to itself
         # — membership search is algebraically pointless (the reference runs
         # its full sorted isin even here; this is the benchmark's Z^40 case).
+        if is_packed:
+            res = native.pauli_diag_elements(packed_h, zw, phase)
+        else:
+            # bool column c is global bit nq-1-c: the per-column z mask is
+            # the qubit-order mask reversed (bitpack.pack_bool_matrix layout)
+            zsel = np.asarray(pauli.z, dtype=bool)[::-1].astype(np.uint8)
+            res = native.pauli_diag_elements(bitstring_matrix, zsel, phase)
+        if res is not None:
+            return res
+        if packed_h is None:
+            packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
         sign = _sign(packed_h)
         amplitudes = phase * sign.astype(np.complex128)
         rows = np.arange(d, dtype=np.int64)
         return amplitudes, rows, rows.copy()
+    if packed_h is None:
+        packed_h = bitpack.pack_bool_matrix(bitstring_matrix)
 
     # host radix-merge wins at small/medium d (no device sync); the device
     # involution-pairing kernel wins at large d (the host here may be few-core)

@@ -415,3 +415,68 @@ def test_rowsharded_f32_refine_path():
     )
     e_exact = np.linalg.eigvalsh(build_dense_hamiltonian(strs, strs, h1, eri))[0]
     assert abs(res.energy - e_exact) < 1e-6
+
+
+def test_device_tables_device_diag_threshold_matches_native():
+    """tables_backend='device' above DEVICE_DIAG_MIN_ELEMS: the on-device
+    rank-structured diagonal assembly (with and without padding) must match
+    the native build bit-for-bit in the tables and to f64 rounding in hd."""
+    from sqd_tpu import native
+    from sqd_tpu.ops import bitpack, hamiltonian
+    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    norb, ne = 8, 3
+    h1 = rng.normal(size=(norb, norb))
+    h1 = (h1 + h1.T) / 2
+    chol = rng.normal(size=(10, norb, norb)) * 0.3
+    chol = (chol + chol.transpose(0, 2, 1)) / 2
+    eri = np.einsum("xpq,xrs->pqrs", chol, chol)
+    from sqd_tpu.ops.dense_fci import all_hamming_strings
+
+    strs = all_hamming_strings(norb, ne)  # C(8,3) = 56
+    pa = bitpack.pack_ints(strs, norb)
+    m = len(strs)
+    # shrink the threshold so this small problem takes the device-diag path
+    orig = hamiltonian.DEVICE_DIAG_MIN_ELEMS
+    hamiltonian.DEVICE_DIAG_MIN_ELEMS = m * m  # 3136
+    try:
+        for pad in (None, (m + 3, m + 5)):
+            h_dev = build_sci_hamiltonian(
+                pa, pa, h1, eri, norb, (ne, ne), dtype=jnp.float64,
+                tables_backend="device", pad_to=pad,
+            )
+            h_nat = build_sci_hamiltonian(
+                pa, pa, h1, eri, norb, (ne, ne), dtype=jnp.float64,
+                tables_backend="native", pad_to=pad,
+            )
+            # table layouts differ between backends — compare operators
+            np.testing.assert_allclose(
+                np.asarray(h_dev.hdiag), np.asarray(h_nat.hdiag),
+                rtol=0.0, atol=1e-11,
+            )
+            v = rng.normal(size=h_nat.shape)
+            np.testing.assert_allclose(
+                np.asarray(h_dev.matvec(jnp.asarray(v))),
+                np.asarray(h_nat.matvec(jnp.asarray(v))),
+                atol=1e-10,
+            )
+    finally:
+        hamiltonian.DEVICE_DIAG_MIN_ELEMS = orig
+
+
+def test_build_sci_hamiltonian_rejects_unknown_tables_backend():
+    from sqd_tpu.ops import bitpack
+    from sqd_tpu.ops.dense_fci import all_hamming_strings
+    from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian
+
+    rng = np.random.default_rng(1)
+    norb = 4
+    h1 = np.eye(norb)
+    eri = np.zeros((norb,) * 4)
+    strs = all_hamming_strings(norb, 2)
+    pa = bitpack.pack_ints(strs, norb)
+    with pytest.raises(ValueError, match="unknown tables_backend"):
+        build_sci_hamiltonian(pa, pa, h1, eri, norb, (2, 2), tables_backend="numpy")

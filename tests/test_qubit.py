@@ -536,3 +536,42 @@ def test_solve_qubit_device_on_packed_operator():
         pauli_proj._PACKED_WEIGHTS_MIN_D = old
     assert proj.packed_weights and proj.scan_matvec
     assert abs(e_dev - float(e_ref[0])) < 1e-8
+
+
+def test_pauli_diag_fused_native_matches_oracle():
+    """Fused single-pass diagonal kernel vs direct parity oracle.
+
+    Covers both native entry points (bool-matrix and packed-word input),
+    non-multiple-of-8 widths (the byte-tail loop), sparse Z patterns, and the
+    NumPy fallback equality (monkeypatched-out native).
+    """
+    from sqd_tpu import native
+    from sqd_tpu.ops import bitpack
+
+    rng = np.random.default_rng(12)
+    for nq in (13, 40, 45, 70):
+        mat = qubit.sort_and_remove_duplicates(
+            rng.integers(2, size=(257, nq)).astype(bool)
+        )
+        packed = bitpack.pack_bool_matrix(mat)
+        zcols = rng.integers(2, size=nq).astype(bool)
+        zcols[rng.integers(nq)] = True
+        label = "".join("Z" if zb else "I" for zb in zcols)
+        p = Pauli.from_label(label)
+        expected = (-1.0) ** mat[:, zcols].sum(axis=1)
+        for inp in (mat, packed):
+            amps, rows, cols = qubit.matrix_elements_from_pauli(inp, p)
+            assert amps.dtype == np.complex128
+            np.testing.assert_array_equal(rows, np.arange(len(mat)))
+            np.testing.assert_array_equal(cols, rows)
+            np.testing.assert_allclose(amps.real, expected)
+            np.testing.assert_allclose(amps.imag, 0.0)
+    # NumPy fallback path (native wrapper declining) must agree bit-for-bit
+    if native.available():
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "pauli_diag_elements", return_value=None):
+            a2, r2, c2 = qubit.matrix_elements_from_pauli(mat, p)
+        np.testing.assert_allclose(a2, amps)
+        np.testing.assert_array_equal(r2, rows)
+        np.testing.assert_array_equal(c2, cols)
