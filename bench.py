@@ -583,12 +583,13 @@ def main():
         chol7 = (chol7 + chol7.transpose(0, 2, 1)) / 2
         eri7 = np.einsum("xpq,xrs->pqrs", chol7, chol7)
         # same alpha/beta set (S_z = 0 sector): dense-DF aliases Wb == Wa
+        # (modulo the builder's x8-row / x128-column pad mismatch, handled
+        # inside densify — see test_densify_aliases_wb_across_mismatched_pads)
         sa7 = excitation_strings(m7, norb7, nelec7[0], 1)
         pa7 = bitpack.pack_ints(sa7, norb7)
         t0 = time.perf_counter()
         ham64_7f = build_sci_hamiltonian(pa7, pa7, h17, eri7, norb7, nelec7, dtype=jnp.float64)
-        ham32_7f = ham64_7f.astype(jnp.float32)
-        hd7f = ham32_7f.hdiag.reshape(-1)
+        hd7f = ham64_7f.hdiag.astype(jnp.float32).reshape(-1)
         _ = float(jnp.sum(hd7f))
         t_build7f = time.perf_counter() - t0
 
@@ -599,11 +600,16 @@ def main():
         _ = float(jnp.sum(op7.wa[0, 0]))
         t_densify = time.perf_counter() - t0
 
+        from sqd_tpu.ops.davidson import davidson_ground_state_segmented
+
         def solve_fe():
             v0 = davidson_initial_guess(hd7f, jnp.float32)
             # max_subspace 12: (1e7, k) f32 Krylov buffers are ~650 MB each
-            # and the dense-DF factor stacks hold ~5 GB with Wb aliased
-            res = davidson_ground_state(
+            # and the dense-DF factor stack holds ~4.4 GB (Wb aliased).
+            # SEGMENTED solver: at ~1.6 s/matvec a single 200-iteration XLA
+            # program runs >5 min and hard-crashes the tunneled worker
+            # (probes/fe4s4_stage.py); 25-iteration segments are safe.
+            res = davidson_ground_state_segmented(
                 dense_df_matvec_flat, op7, hd7f, v0,
                 tol=1e-4, max_subspace=12, max_iterations=200,
             )
@@ -627,9 +633,9 @@ def main():
             "residual_norm": float(res7.residual_norm),
             "energy_f64_eval": e64_7,
             "f64_eval_vs_theta_abs": abs(e64_7 - theta7),
-            "eri_chol_rank": None if ham32_7f.eri_chol is None else int(ham32_7f.eri_chol.shape[0]),
+            "eri_chol_rank": None if ham64_7f.eri_chol is None else int(ham64_7f.eri_chol.shape[0]),
         }
-        del ham64_7f, ham32_7f, hd7f, op7, res7
+        del ham64_7f, hd7f, op7, res7
     except Exception as exc:  # pragma: no cover - defensive
         fe4s4_detail = {"error": str(exc)[:200] if not isinstance(exc, RuntimeError) else "skipped: " + str(exc)}
     _WD["detail"]["fe4s4_class_1e7_dets"] = fe4s4_detail

@@ -17,7 +17,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 from sqd_tpu.ops import bitpack
 from sqd_tpu.ops.hamiltonian import build_sci_hamiltonian, expectation_value, sci_matvec_flat
-from sqd_tpu.ops.davidson import davidson_ground_state, davidson_initial_guess
+from sqd_tpu.ops.davidson import (
+    davidson_ground_state,
+    davidson_ground_state_segmented,
+    davidson_initial_guess,
+)
 
 NORB, NELEC = 36, (27, 27)
 M = N = 3163  # ~1.0e7 determinants
@@ -74,14 +78,16 @@ if USE_DENSE:
 def dav():
     v0 = davidson_initial_guess(hd32, jnp.float32)
     # max_subspace 12-16: the (1e7, k) f32 Krylov workspaces are ~650 MB
-    # each, and the dense-DF wa/wb stacks hold ~10 GB — keep peak HBM under
-    # the 15.75 GB v5e limit.
+    # each, plus the aliased dense-DF W stack (~4.4 GB) — well under the
+    # 15.75 GB v5e limit.  SEGMENTED: one long XLA program (>~2 min) crashes
+    # the tunneled worker; 25-iteration segments are safe (fe4s4_stage.py).
     if USE_DENSE:
-        return davidson_ground_state(dense_df_matvec_flat, op, hd32, v0,
-                                     tol=1e-4, max_subspace=12,
-                                     max_iterations=200)
-    return davidson_ground_state(sci_matvec_flat, ham32, hd32, v0,
-                                 tol=1e-4, max_subspace=16, max_iterations=200)
+        return davidson_ground_state_segmented(
+            dense_df_matvec_flat, op, hd32, v0,
+            tol=1e-4, max_subspace=12, max_iterations=200)
+    return davidson_ground_state_segmented(
+        sci_matvec_flat, ham32, hd32, v0,
+        tol=1e-4, max_subspace=16, max_iterations=200)
 
 res = dav(); _ = float(res.theta)   # compile
 t0 = time.perf_counter(); res = dav(); theta = float(res.theta)

@@ -421,10 +421,14 @@ def solve_sci(
                 "needs npair > 256 and symmetric PSD two_body_tensor "
                 "(see build_sci_hamiltonian(eri_factor=...))"
             )
+        from .ops.davidson import davidson_ground_state_segmented
         from .ops.dense_df import dense_df_matvec_flat, densify
 
         dense_op = densify(ham64, dtype=solver_dtype)
-        result = davidson_ground_state(
+        # segmented: dense_df targets shapes whose matvec costs seconds —
+        # a single >2-minute XLA program crashes the tunneled TPU worker
+        # (see davidson_ground_state_segmented)
+        result = davidson_ground_state_segmented(
             dense_df_matvec_flat,
             dense_op,
             hd_flat,

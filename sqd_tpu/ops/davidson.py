@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "davidson_ground_state",
+    "davidson_ground_state_segmented",
     "davidson_initial_guess",
     "davidson_initial_guess_k",
     "davidson_lowest_k",
@@ -424,6 +425,53 @@ def _davidson_inner(
         iterations=final.it,
         converged=final.done,
     )
+
+
+def davidson_ground_state_segmented(
+    matvec: Callable,
+    operator,
+    hdiag: jax.Array,
+    v0: jax.Array,
+    *,
+    tol: float = 1e-5,
+    max_subspace: int = 24,
+    max_iterations: int = 200,
+    segment_iterations: int = 25,
+    axis_name: str | None = None,
+) -> DavidsonResult:
+    """Same contract as :func:`davidson_ground_state`, bounded device programs.
+
+    The tunneled TPU worker hard-crashes ("TPU worker process crashed or
+    restarted ... kernel fault") when ONE XLA program runs for many minutes:
+    at the 1e7-determinant dense-DF shape a 200-iteration while_loop
+    (~1.6 s/matvec) reliably killed the worker while 3- and 25-iteration
+    programs of the identical code ran fine (``probes/fe4s4_stage.py``).
+    This wrapper re-launches the jitted solver every ``segment_iterations``
+    matvecs, warm-starting from the current Ritz vector — the host sync
+    between segments costs one tunnel round-trip plus one repeated matvec
+    (v0 re-application), negligible against multi-second matvecs, and every
+    segment reuses ONE compiled program (constant static bound).
+
+    Use for solves whose single-program runtime could exceed ~2 minutes;
+    the unsegmented solver remains right for sub-minute programs (e.g. the
+    1.9e7-det CASCI at ~15 s/solve).
+    """
+    total = 0
+    v = v0
+    res = None
+    while total < max_iterations:
+        res = davidson_ground_state(
+            matvec, operator, hdiag, v,
+            tol=tol, max_subspace=max_subspace,
+            max_iterations=segment_iterations, axis_name=axis_name,
+        )
+        it = int(res.iterations)
+        total += it
+        # converged, stalled (precision floor), or solver exited early
+        if bool(res.converged) or it < segment_iterations:
+            break
+        v = res.vector
+    return res._replace(iterations=jnp.asarray(min(total, max_iterations)))
 
 
 class _KState(NamedTuple):

@@ -26,9 +26,12 @@ regime.  It LOSES below the crossover (production norb = 16 CASCI at 1.9e7
 determinants: 44 TFLOP dense vs 5 TFLOP gathered), so it is strictly
 opt-in via :func:`densify`.
 
-Memory: ``wa``/``wb`` hold ``2 * X * M^2`` floats (9.8 GB f32 at the shape
-above) — the price of zero gathers; callers at larger M should stay on the
-gather path or shard.
+Memory: ``wa``/``wb`` hold ``2 * X * M^2`` floats — the price of zero
+gathers — EXCEPT in the identical-set (S_z = 0) case, where :func:`densify`
+detects set equality modulo padding, builds ONE stack at the common padded
+width and aliases ``wb``/``hbb`` (4.4 GB instead of 8.8 GB f32 at the
+[4Fe-4S]-class shape, the difference between fitting and crashing a 16 GB
+v5e).  Callers at larger M should stay on the gather path or shard.
 
 Spin-penalty operators (``spin_shift != 0``) are not supported here: the
 mixed S^2 term's pair matrix is an involution (eigenvalues +-1, not PSD),
@@ -75,12 +78,24 @@ class DenseDFOperator:
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.wa.shape[1], self.wb.shape[1])
+        # hdiag carries the operator's true (M, N); wa/wb may be built at a
+        # common square width >= max(M, N) (identical-set aliasing).
+        return tuple(self.hdiag.shape)
 
     def matvec(self, c: jax.Array) -> jax.Array:
-        """``sigma = (P H P) c`` — batched matmuls only, x-chunked."""
+        """``sigma = (P H P) c`` — batched matmuls only, x-chunked.
+
+        ``wa``/``wb`` may be built at a COMMON padded width larger than
+        ``c``'s sides (the identical-set aliasing in :func:`densify` when the
+        upstream row/column pads differ): the extra rows/columns of every
+        dense factor are exactly zero (clamped tables), so zero-padding ``c``
+        up and slicing the result back is exact.
+        """
         dt = c.dtype
-        m, n = c.shape
+        m_in, n_in = c.shape
+        m, n = self.wa.shape[1], self.wb.shape[1]
+        if (m, n) != (m_in, n_in):
+            c = jnp.pad(c, ((0, m - m_in), (0, n - n_in)))
         x_tot = self.wa.shape[0]
         with jax.default_matmul_precision("highest"):
             sigma = jnp.matmul(self.haa.astype(dt), c, preferred_element_type=dt)
@@ -91,9 +106,12 @@ class DenseDFOperator:
                 t = jnp.einsum(
                     "xij,jk->xik", self.wa.astype(dt), c, preferred_element_type=dt
                 )
-                return sigma + jnp.einsum(
+                sigma = sigma + jnp.einsum(
                     "xik,xlk->il", t, self.wb.astype(dt), preferred_element_type=dt
                 )
+                if (m, n) != (m_in, n_in):
+                    sigma = sigma[:m_in, :n_in]
+                return sigma
             cx = min(self.x_chunk, x_tot)
             nchunk, rem = divmod(x_tot, cx)
 
@@ -119,6 +137,8 @@ class DenseDFOperator:
                 sigma = sigma + jnp.einsum(
                     "xik,xlk->il", t, wb_r, preferred_element_type=dt
                 )
+        if (m, n) != (m_in, n_in):
+            sigma = sigma[:m_in, :n_in]
         return sigma
 
 
@@ -233,17 +253,39 @@ def densify(
             "term's pair matrix is not PSD); solve with spin_shift=0"
         )
     ell = ham.eri_chol
-    # small allocations first: the W stacks dominate HBM, keep them last
-    haa = _dense_samespin(ham.nbr_idx_a, ham.nbr_val_a, dtype)
-    hbb = _dense_samespin(ham.nbr_idx_b, ham.nbr_val_b, dtype)
-    wa = _w_stack(ham.src_a, ham.sign_a, ell, dtype)
-    # identical alpha/beta string sets (every S_z = 0 workflow, incl. the
-    # [4Fe-4S] (27, 27) sector) make Wb == Wa: alias the buffer and halve
-    # the dominant HBM cost.
-    same_sets = ham.src_a.shape == ham.src_b.shape and bool(
-        jnp.all(ham.src_a == ham.src_b) & jnp.all(ham.sign_a == ham.sign_b)
+    m, n = ham.src_a.shape[1], ham.src_b.shape[1]
+    p = max(m, n)
+
+    def _pad_cols(a):
+        # zero columns = clamped inert entries (slot 0, sign 0)
+        return a if a.shape[1] == p else jnp.pad(a, ((0, 0), (0, p - a.shape[1])))
+
+    # Identical alpha/beta string sets (every S_z = 0 workflow, incl. the
+    # [4Fe-4S] (27, 27) sector) make Wb == Wa and H_bb == H_aa: alias the
+    # buffers and halve the dominant HBM cost.  The builder pads the row
+    # axis to x8 but the column axis to x128, so identical sets routinely
+    # arrive with DIFFERENT padded widths — compare modulo the zero padding
+    # and build once at the common width; the matvec pads/slices c around
+    # the square factors (exact: padded factor rows/columns are all zero).
+    # Without this, a (54e, 36o) 1e7-determinant build held TWO ~4.4 GB
+    # stacks plus the build transient and crashed a 16 GB v5e.
+    src_a, sign_a = _pad_cols(ham.src_a), _pad_cols(ham.sign_a)
+    same_sets = ham.src_a.shape[0] == ham.src_b.shape[0] and bool(
+        jnp.all(src_a == _pad_cols(ham.src_b))
+        & jnp.all(sign_a == _pad_cols(ham.sign_b))
     )
-    wb = wa if same_sets else _w_stack(ham.src_b, ham.sign_b, ell, dtype)
+    if same_sets:
+        pad_r = ((0, p - ham.nbr_idx_a.shape[0]), (0, 0))
+        haa = hbb = _dense_samespin(
+            jnp.pad(ham.nbr_idx_a, pad_r), jnp.pad(ham.nbr_val_a, pad_r), dtype
+        )
+        # the W stack dominates HBM: allocate it last
+        wa = wb = _w_stack(src_a, sign_a, ell, dtype)
+    else:
+        haa = _dense_samespin(ham.nbr_idx_a, ham.nbr_val_a, dtype)
+        hbb = _dense_samespin(ham.nbr_idx_b, ham.nbr_val_b, dtype)
+        wa = _w_stack(ham.src_a, ham.sign_a, ell, dtype)
+        wb = _w_stack(ham.src_b, ham.sign_b, ell, dtype)
     return DenseDFOperator(
         wa=wa, wb=wb, haa=haa, hbb=hbb, hdiag=ham.hdiag.astype(dtype),
         x_chunk=x_chunk,

@@ -250,10 +250,15 @@ def solve_qubit_device(
         hd = jnp.concatenate([hd, hd])  # embedded diagonal (Im(diag) = 0)
     hd = hd.astype(work_dtype)
     v0 = davidson_initial_guess(hd, work_dtype)
+    # segmented Davidson: at d ~ 1e7+ a matvec costs seconds and one
+    # multi-minute XLA program hard-crashes the tunneled TPU worker (see
+    # davidson_ground_state_segmented); identical fixed point at small d.
+    from .ops.davidson import davidson_ground_state_segmented
+
     if coarse_dtype is not None and jnp.dtype(coarse_dtype) != work_dtype:
         scale = float(jnp.max(jnp.abs(hd))) if hd.size else 1.0
         eps = float(jnp.finfo(coarse_dtype).eps)
-        coarse = davidson_ground_state(
+        coarse = davidson_ground_state_segmented(
             pauli_apply_flat,
             op,
             hd.astype(coarse_dtype),
@@ -263,7 +268,7 @@ def solve_qubit_device(
             max_iterations=max_iterations,
         )
         v0 = coarse.vector.astype(work_dtype)
-    res = davidson_ground_state(
+    res = davidson_ground_state_segmented(
         pauli_apply_flat,
         op,
         hd,

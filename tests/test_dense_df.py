@@ -96,6 +96,29 @@ def test_dense_df_davidson_ground_state():
     assert abs(float(r_dense.theta) - float(r_gather.theta)) < 1e-8
 
 
+def test_segmented_davidson_matches_unsegmented():
+    """Bounded-program restarts land on the same eigenpair (same tol)."""
+    from sqd_tpu.ops.davidson import davidson_ground_state_segmented
+
+    norb, nelec = 10, (5, 5)
+    h1, eri, pa, pb = _problem(norb, nelec, 36, 36, seed=11)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(pa, pb, h1, eri, norb, nelec, eri_factor=ell)
+    op = densify(ham, dtype=jnp.float64)
+    hd = op.hdiag.reshape(-1)
+    v0 = davidson_initial_guess(hd, jnp.float64)
+    r_full = davidson_ground_state(
+        dense_df_matvec_flat, op, hd, v0, tol=1e-9, max_subspace=20, max_iterations=200
+    )
+    r_seg = davidson_ground_state_segmented(
+        dense_df_matvec_flat, op, hd, v0, tol=1e-9, max_subspace=20,
+        max_iterations=200, segment_iterations=7,
+    )
+    assert bool(r_seg.converged)
+    assert abs(float(r_seg.theta) - float(r_full.theta)) < 1e-8
+    assert int(r_seg.iterations) <= 200
+
+
 def test_densify_aliases_wb_for_identical_sets():
     """sa == sb (S_z = 0 sector): Wb must alias Wa, not duplicate it."""
     norb, nelec = 9, (4, 4)
@@ -111,6 +134,43 @@ def test_densify_aliases_wb_for_identical_sets():
         np.asarray(ham.matvec(c)),
         atol=1e-10 * float(jnp.abs(ham.matvec(c)).max()),
     )
+
+
+def test_densify_aliases_wb_across_mismatched_pads():
+    """Identical sets padded to DIFFERENT widths (the builder's x8-row vs
+    x128-column rounding at large shapes) must still alias Wb == Wa, with the
+    matvec padding/slicing c around the square factors exactly.  Regression:
+    the (54e, 36o) 1e7-det bench arrived as (npair, 3168) vs (npair, 3200)
+    tables, silently built BOTH ~4.4 GB stacks and crashed a 16 GB v5e."""
+    norb, nelec = 9, (4, 4)
+    h1, eri, pa, _ = _problem(norb, nelec, 25, 25, seed=19)
+    ell = pivoted_cholesky_pairs(eri, norb)
+    ham = build_sci_hamiltonian(
+        pa, pa, h1, eri, norb, nelec, eri_factor=ell, pad_to=(32, 40)
+    )
+    assert ham.src_a.shape != ham.src_b.shape  # the mismatch under test
+    op = densify(ham, dtype=jnp.float64)
+    assert op.wb is op.wa and op.hbb is op.haa
+    assert op.wa.shape[1] == 40 and op.shape == (32, 40)
+    rng = np.random.default_rng(6)
+    c = np.zeros(ham.shape)
+    c[:25, :25] = rng.normal(size=(25, 25))
+    s_gather = np.asarray(ham.matvec(jnp.asarray(c)))
+    s_dense = np.asarray(op.matvec(jnp.asarray(c)))
+    assert s_dense.shape == s_gather.shape
+    np.testing.assert_allclose(s_dense, s_gather, atol=1e-10 * np.abs(s_gather).max())
+    # the full flat solve goes through the same pad/slice path
+    hd = op.hdiag.reshape(-1)
+    v0 = davidson_initial_guess(hd, jnp.float64)
+    r_dense = davidson_ground_state(
+        dense_df_matvec_flat, op, hd, v0, tol=1e-9, max_subspace=20, max_iterations=200
+    )
+    hd_g = ham.hdiag.reshape(-1)
+    r_gather = davidson_ground_state(
+        sci_matvec_flat, ham, hd_g, davidson_initial_guess(hd_g, jnp.float64),
+        tol=1e-9, max_subspace=20, max_iterations=200,
+    )
+    assert abs(float(r_dense.theta) - float(r_gather.theta)) < 1e-8
 
 
 def test_solve_sci_dense_df_strategy():
