@@ -9,13 +9,18 @@ STO-3G/6-31G) without any external chemistry package in the image.
 from .active_space import active_space_integrals, mo_eri
 from .integrals import Molecule, ao_integrals, nuclear_repulsion
 from .scf import RHFResult, rhf
+from .scf_open import ROHFResult, UHFResult, rohf, uhf
 
 __all__ = [
     "Molecule",
     "RHFResult",
+    "ROHFResult",
+    "UHFResult",
     "active_space_integrals",
     "ao_integrals",
     "mo_eri",
     "nuclear_repulsion",
     "rhf",
+    "rohf",
+    "uhf",
 ]

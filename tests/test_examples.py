@@ -45,6 +45,7 @@ def _load(name: str):
         "12_excited_states.py",
         "13_large_active_space.py",
         "15_multiprocess_cluster.py",
+        "16_open_shell_rohf.py",
     ],
 )
 def test_example_runs(name, tmp_path, monkeypatch, capsys):
