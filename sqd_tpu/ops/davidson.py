@@ -164,6 +164,67 @@ def _mm64(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.sum(x[:, :, None] * y[None, :, :], axis=1)
 
 
+# test hook: force the scan path of _combine_rows on any backend/dtype
+_FORCE_COMBINE_SCAN = False
+
+
+def _combine_rows(y: jax.Array, rows: jax.Array, _vt_form: bool = False) -> jax.Array:
+    """``sum_k y[k] * rows[k]`` — a contraction over the SMALL subspace axis.
+
+    ``y`` is ``(K,)`` or ``(K, M)`` with K = max_subspace (tiny); ``rows`` is
+    the ``(K, D)`` Krylov buffer with D huge.  Returns ``(D,)`` / ``(M, D)``.
+
+    On TPU an f64 dot_general with a small contraction dim lowers through the
+    f32-split emulation as a MATERIALIZED product tensor: at
+    ``(keep=8, D=1e7, K=32)`` the compiler allocates an f32[8, 1e7, 32]
+    buffer that lane-pads to 41 GB and OOMs at compile time (observed:
+    probes/qubit_solve_1e7.py).  Elementwise f64 is software-exact and O(M*D)
+    live, so for f64-on-TPU this runs the same contraction as a ``lax.scan``
+    of K fused multiply-adds; every other dtype/backend keeps the native dot
+    (bit-for-bit unchanged semantics — the fallback IS the original
+    expression).
+    """
+    use_scan = _FORCE_COMBINE_SCAN or (
+        rows.dtype == jnp.float64 and jax.default_backend() == "tpu"
+    )
+    if not use_scan:
+        # exact original expressions (not just equivalent ones): the traced
+        # jaxpr — and with it the persistent compile-cache key of every f32
+        # solver program — must be bit-identical to the pre-helper code
+        if y.ndim == 2:
+            return y.T @ rows
+        return rows.T @ y if _vt_form else y @ rows
+    yk = y if y.ndim == 2 else y[:, None]  # (K, M)
+    acc0 = jnp.zeros((yk.shape[1], rows.shape[1]), rows.dtype)
+
+    # fori_loop + dynamic_slice, NOT lax.scan: scan xs would copy the whole
+    # (K, D) buffer per _combine_rows site (observed 9.5 GB of copies at
+    # mss=32, D=1e7); slicing reads the live buffer in place.
+    def step(k, acc):
+        yr = jax.lax.dynamic_slice_in_dim(yk, k, 1, 0)[0]
+        row = jax.lax.dynamic_slice_in_dim(rows, k, 1, 0)[0]
+        return acc + yr[:, None] * row[None, :]
+
+    acc = jax.lax.fori_loop(0, yk.shape[0], step, acc0)
+    return acc if y.ndim == 2 else acc[0]
+
+
+def _project_rows(v: jax.Array, t_vec: jax.Array) -> jax.Array:
+    """``v.conj() @ t_vec`` — (K, D) x (D,) -> (K,) with D huge.
+
+    The f64-on-TPU dot lowering materializes the f32-split product tensor
+    ((4, K, D) observed: 4.77 GB at K=32, D=1e7); an elementwise multiply
+    feeding a reduction fuses instead (no materialization, software-exact
+    f64).  Other dtype/backend combinations keep the original dot.
+    """
+    use_sum = _FORCE_COMBINE_SCAN or (
+        t_vec.dtype == jnp.float64 and jax.default_backend() == "tpu"
+    )
+    if not use_sum:
+        return v.conj() @ t_vec
+    return jnp.sum(v * t_vec[None, :], axis=1)
+
+
 def _jacobi_eigh(a: jax.Array, sweeps: int = 10):
     """Parallel-ordered Jacobi symmetric eigendecomposition (ascending), f64.
 
@@ -339,8 +400,8 @@ def _davidson_inner(
         """Two rounds of masked classical Gram-Schmidt; returns (vec, norm)."""
         active = (jnp.arange(mss) < m).astype(dt)
         for _ in range(2):
-            coeffs = _allsum(v.conj() @ t_vec) * active
-            t_vec = t_vec - v.T @ coeffs
+            coeffs = _allsum(_project_rows(v, t_vec)) * active
+            t_vec = t_vec - _combine_rows(coeffs, v, _vt_form=True)
         nrm = _norm(t_vec)
         return t_vec / jnp.maximum(nrm, eps), nrm
 
@@ -376,8 +437,8 @@ def _davidson_inner(
             def do_restart(s: _State) -> _State:
                 vals, vecs = _masked_eigh(s.t, s.m)
                 y = vecs[:, :keep]  # (mss, keep), inactive rows zero
-                v = jnp.zeros_like(s.v).at[:keep].set(y.T @ s.v)
-                w = jnp.zeros_like(s.w).at[:keep].set(y.T @ s.w)
+                v = jnp.zeros_like(s.v).at[:keep].set(_combine_rows(y, s.v))
+                w = jnp.zeros_like(s.w).at[:keep].set(_combine_rows(y, s.w))
                 t = jnp.zeros_like(s.t).at[jnp.arange(keep), jnp.arange(keep)].set(
                     vals[:keep].astype(s.t.dtype)
                 )
@@ -390,13 +451,13 @@ def _davidson_inner(
             w_new = matvec(operator, t_ortho)
             v = s.v.at[s.m].set(t_ortho)
             w = s.w.at[s.m].set(w_new)
-            col = _allsum(v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
+            col = _allsum(_project_rows(v, w_new)) * (jnp.arange(mss) <= s.m)
             t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
             m = s.m + 1
 
             theta, y = _masked_eigh_min(t, m)
-            u = y @ v
-            hu = y @ w
+            u = _combine_rows(y, v)
+            hu = _combine_rows(y, w)
             rnorm = _norm(hu - theta * u)
             return _State(
                 v=v,
@@ -546,8 +607,8 @@ def _davidson_k_inner(
     def orthonormalize(t_vec, v, m):
         active = (jnp.arange(mss) < m).astype(dt)
         for _ in range(2):
-            coeffs = _allsum(v.conj() @ t_vec) * active
-            t_vec = t_vec - v.T @ coeffs
+            coeffs = _allsum(_project_rows(v, t_vec)) * active
+            t_vec = t_vec - _combine_rows(coeffs, v, _vt_form=True)
         nrm = _norm(t_vec)
         return t_vec / jnp.maximum(nrm, eps), nrm
 
@@ -567,8 +628,8 @@ def _davidson_k_inner(
         vals, vecs = _masked_eigh(t, m)
         thetas = vals[:k]
         y = vecs[:, :k]  # (mss, k)
-        u = y.T @ v
-        hu = y.T @ w
+        u = _combine_rows(y, v)
+        hu = _combine_rows(y, w)
         rnorms = _row_norms(hu - thetas[:, None] * u)
         return thetas, u, hu, rnorms
 
@@ -611,8 +672,8 @@ def _davidson_k_inner(
             def do_restart(s: _KState) -> _KState:
                 vals, vecs = _masked_eigh(s.t, s.m)
                 y = vecs[:, :keep]
-                v = jnp.zeros_like(s.v).at[:keep].set(y.T @ s.v)
-                w = jnp.zeros_like(s.w).at[:keep].set(y.T @ s.w)
+                v = jnp.zeros_like(s.v).at[:keep].set(_combine_rows(y, s.v))
+                w = jnp.zeros_like(s.w).at[:keep].set(_combine_rows(y, s.w))
                 t = jnp.zeros_like(s.t).at[jnp.arange(keep), jnp.arange(keep)].set(
                     vals[:keep].astype(s.t.dtype)
                 )
@@ -623,7 +684,7 @@ def _davidson_k_inner(
             w_new = matvec(operator, t_ortho)
             v = s.v.at[s.m].set(t_ortho)
             w = s.w.at[s.m].set(w_new)
-            col = _allsum(v.conj() @ w_new) * (jnp.arange(mss) <= s.m)
+            col = _allsum(_project_rows(v, w_new)) * (jnp.arange(mss) <= s.m)
             t = s.t.at[s.m, :].set(col.conj()).at[:, s.m].set(col)
             m = s.m + 1
             thetas, u, hu, rnorms = ritz(v, w, t, m)

@@ -22,10 +22,11 @@ import numpy as np
 from scipy.sparse import coo_matrix, spmatrix
 from scipy.sparse.linalg import eigsh
 
+import jax
 import jax.numpy as jnp
 
 from .ops import bitpack
-from .ops.davidson import davidson_ground_state, davidson_initial_guess
+from .ops.davidson import DavidsonResult, davidson_ground_state, davidson_initial_guess
 from .ops.pauli_proj import (
     ProjectedPauliOperator,
     build_projected_operator,
@@ -42,6 +43,12 @@ __all__ = [
     "sort_and_remove_duplicates",
     "matrix_elements_from_pauli",
 ]
+
+
+# HBM the f64 polish Davidson may plan for on one chip (v5e: 15.75 GB usable;
+# leave headroom for the resident operator + the f32 stage's buffers).  The
+# ~100 B/(subspace-row x dim) cost model is measured — see solve_qubit_device.
+_F64_DAVIDSON_BUDGET_BYTES = 10_000_000_000
 
 
 def sort_and_remove_duplicates(bitstring_matrix: np.ndarray) -> np.ndarray:
@@ -255,28 +262,66 @@ def solve_qubit_device(
     # davidson_ground_state_segmented); identical fixed point at small d.
     from .ops.davidson import davidson_ground_state_segmented
 
-    if coarse_dtype is not None and jnp.dtype(coarse_dtype) != work_dtype:
+    d_emb = int(hd.shape[0])
+    # TPU f64 HBM model (measured at d = 1e7, probes/qubit_solve_1e7.py /
+    # logs/qubit_1e7_r5*.log): the f64 Davidson program costs ~100 bytes per
+    # (subspace-row x dim) element — X64-split V/W buffers, emulated-dot
+    # transients, ~50% allocator fragmentation.  The polish stage is
+    # warm-started from the f32 vector, so shrinking its subspace to fit
+    # costs iterations, not correctness; when even mss = 8 cannot fit, skip
+    # the f64 Davidson and refine by an exact f64 Rayleigh quotient (the
+    # Pauli matvec is gathers + elementwise f64 — software-exact, no dots).
+    mss64 = max_subspace
+    run_coarse = coarse_dtype is not None and jnp.dtype(coarse_dtype) != work_dtype
+    if work_dtype == jnp.float64 and jax.default_backend() == "tpu":
+        fit = int(_F64_DAVIDSON_BUDGET_BYTES // (100 * max(d_emb, 1)))
+        if fit >= 8:
+            mss64 = min(mss64, fit)
+        else:
+            mss64 = 0  # Rayleigh-quotient-only refinement
+            run_coarse = True  # the f32 stage must supply the eigenvector
+    if run_coarse:
+        cdt = jnp.float32 if coarse_dtype is None else jnp.dtype(coarse_dtype)
         scale = float(jnp.max(jnp.abs(hd))) if hd.size else 1.0
-        eps = float(jnp.finfo(coarse_dtype).eps)
+        eps = float(jnp.finfo(cdt).eps)
         coarse = davidson_ground_state_segmented(
             pauli_apply_flat,
             op,
-            hd.astype(coarse_dtype),
-            v0.astype(coarse_dtype),
+            hd.astype(cdt),
+            v0.astype(cdt),
             tol=max(tol, 32 * eps * max(1.0, scale)),
             max_subspace=max_subspace,
             max_iterations=max_iterations,
         )
         v0 = coarse.vector.astype(work_dtype)
-    res = davidson_ground_state_segmented(
-        pauli_apply_flat,
-        op,
-        hd,
-        v0,
-        tol=tol,
-        max_subspace=max_subspace,
-        max_iterations=max_iterations,
-    )
+    if mss64:
+        # f64 matvecs are ~10x their f32 cost (X64-split emulation): at huge
+        # d a default 25-iteration segment runs long enough to hard-crash the
+        # tunneled TPU worker (observed at d = 1e7 — the exact failure mode
+        # segmentation exists for).  Bound the per-program work instead.
+        seg = max(2, min(25, int(30_000_000 // max(d_emb, 1))))
+        res = davidson_ground_state_segmented(
+            pauli_apply_flat,
+            op,
+            hd,
+            v0,
+            tol=tol,
+            max_subspace=mss64,
+            max_iterations=max_iterations,
+            segment_iterations=seg,
+        )
+    else:
+        v64 = v0 / jnp.sqrt(jnp.sum(v0 * v0))
+        hv = pauli_apply_flat(op, v64)
+        theta = jnp.sum(v64 * hv) / jnp.sum(v64 * v64)
+        rnorm = jnp.sqrt(jnp.sum((hv - theta * v64) ** 2))
+        res = DavidsonResult(
+            theta=theta,
+            vector=v64,
+            residual_norm=rnorm,
+            iterations=coarse.iterations,
+            converged=coarse.converged,
+        )
     vec = np.asarray(res.vector)
     if op.is_complex:
         d = op.dim
