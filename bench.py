@@ -212,6 +212,44 @@ def main():
     _ = float(jnp.sum(jnp.arange(8.0)))
     t_session = time.perf_counter() - t_sess0
 
+    # --- chip-health fence: the tunneled chip has DEGRADED WINDOWS (~20x
+    # slower, identical HLO — tpu_numerics.md §10b).  Record a chained bf16
+    # matmul calibration so anomalous wall-clocks in THIS run can be
+    # attributed to chip state rather than code (healthy window: ~80 TFLOP/s;
+    # degraded: single-digit).  Chained fori_loop is the only valid timing
+    # through the tunnel (single-dispatch floors are not constant).
+    chip_tflops = None
+    if not _SMALL:
+        _WD["stage"] = "chip_health_calibration"
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("r",))
+        def _mm_chain(a, y, r):
+            def body(_, y):
+                return jnp.matmul(
+                    a, y, preferred_element_type=jnp.float32
+                ).astype(y.dtype)
+
+            return jax.lax.fori_loop(0, r, body, y)
+
+        _cal_n, _cal_r = 2048, 32
+        _rng_cal = np.random.default_rng(0)
+        _a_cal = jnp.asarray(
+            (_rng_cal.normal(size=(_cal_n, _cal_n)) / np.sqrt(_cal_n)).astype(
+                np.float32
+            )
+        ).astype(jnp.bfloat16)
+        _y_cal = jnp.asarray(
+            _rng_cal.normal(size=(_cal_n, _cal_n)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        _out = _mm_chain(_a_cal, _y_cal, _cal_r)
+        _ = float(jnp.sum(_out[0].astype(jnp.float32)))  # compile + warm
+        _t0 = time.perf_counter()
+        _out = _mm_chain(_a_cal, _y_cal, _cal_r)
+        _ = float(jnp.sum(_out[0].astype(jnp.float32)))
+        _t = (time.perf_counter() - _t0) / _cal_r
+        chip_tflops = round(2 * _cal_n**3 / _t / 1e12, 1)
+
     # pure host-side native table compute (no device involvement)
     from sqd_tpu import native as native_mod
 
@@ -281,6 +319,7 @@ def main():
         davidson_iterations=iters,
         tunnel_session_establishment_seconds=round(t_session, 3),
         table_build_seconds=round(t_build, 3),
+        chip_health_bf16_2048_tflops=chip_tflops,
     )
 
     # --- stretch: the FULL N2/6-31G CASCI space on ONE chip -----------------
